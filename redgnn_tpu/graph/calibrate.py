@@ -1,0 +1,95 @@
+"""Per-hop capacity calibration for fixed-shape frontier expansion.
+
+XLA needs static shapes; frontiers are data-dependent
+(`SURVEY.md` §1: "Shapes are data-dependent"). We bound each hop with a
+(node_cap, edge_cap) bucket, calibrated host-side by simulating the exact
+expansion (numpy CSR walk) on sampled query batches, padded with headroom
+and rounded up to lane multiples. If a runtime batch overflows, the caps
+grow geometrically and the step recompiles — at most O(log frontier) times
+over a whole run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def _round_up(x: int, m: int = 256) -> int:
+    return int(-(-x // m) * m)
+
+
+@dataclass(frozen=True)
+class FrontierCaps:
+    """Static per-hop shape budget: node_caps has n_layer+1 entries."""
+
+    node_caps: Tuple[int, ...]
+    edge_caps: Tuple[int, ...]
+
+    def grown(self, hop: int, grow_nodes: bool, grow_edges: bool,
+              factor: float = 1.5) -> "FrontierCaps":
+        nc = list(self.node_caps)
+        ec = list(self.edge_caps)
+        if grow_nodes:
+            nc[hop + 1] = _round_up(int(nc[hop + 1] * factor))
+        if grow_edges:
+            ec[hop] = _round_up(int(ec[hop] * factor))
+        return FrontierCaps(tuple(nc), tuple(ec))
+
+
+def simulate_hops(
+    rowptr: np.ndarray,
+    tail: np.ndarray,
+    n_ent: int,
+    heads: np.ndarray,
+    n_layer: int,
+) -> Tuple[List[int], List[int]]:
+    """Exact node/edge counts per hop for one batch of query heads."""
+    keys = np.arange(len(heads), dtype=np.int64) * n_ent + heads
+    node_counts = [len(keys)]
+    edge_counts = []
+    for _ in range(n_layer):
+        ents = keys % n_ent
+        batches = keys // n_ent
+        degs = rowptr[ents + 1] - rowptr[ents]
+        edge_counts.append(int(degs.sum()))
+        # gather tails
+        tails = np.concatenate(
+            [tail[rowptr[e]: rowptr[e + 1]] + b * n_ent
+             for e, b in zip(ents, batches)]
+        ) if len(ents) else np.empty(0, dtype=np.int64)
+        keys = np.unique(tails)
+        node_counts.append(len(keys))
+    return node_counts, edge_counts
+
+
+def calibrate_caps(
+    rowptr: np.ndarray,
+    tail: np.ndarray,
+    n_ent: int,
+    query_heads: np.ndarray,
+    batch_size: int,
+    n_layer: int,
+    n_sample_batches: int = 6,
+    headroom: float = 1.2,
+    seed: int = 0,
+) -> FrontierCaps:
+    """Measure max frontier sizes over sampled batches, add headroom."""
+    rng = np.random.default_rng(seed)
+    node_max = [batch_size] + [0] * n_layer
+    edge_max = [0] * n_layer
+    n = len(query_heads)
+    for _ in range(n_sample_batches):
+        idx = rng.choice(n, size=min(batch_size, n), replace=False)
+        nc, ec = simulate_hops(rowptr, tail, n_ent, query_heads[idx], n_layer)
+        for i in range(n_layer):
+            node_max[i + 1] = max(node_max[i + 1], nc[i + 1])
+            edge_max[i] = max(edge_max[i], ec[i])
+    node_caps = [batch_size] + [
+        min(_round_up(int(c * headroom) + 8), _round_up(batch_size * n_ent))
+        for c in node_max[1:]
+    ]
+    edge_caps = [_round_up(int(c * headroom) + 8) for c in edge_max]
+    return FrontierCaps(tuple(node_caps), tuple(edge_caps))

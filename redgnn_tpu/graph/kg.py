@@ -1,0 +1,239 @@
+"""Static knowledge graphs: vocab, splits, filters, device-resident CSR.
+
+Capability parity with `Static/transductive/load_data.py` and
+`Static/inductive/load_data.py`:
+
+  * entity/relation vocabularies from `entities.txt` / `relations.txt`
+    (bare names, or `name\tid` pairs in the inductive variant,
+    `Static/inductive/load_data.py:15,22`),
+  * inverse relations appended with id ``r + n_rel``
+    (`load_data.py:69-74`),
+  * an identity self-loop relation ``2 * n_rel`` added for every entity
+    (`load_data.py:77-79`) — this is what guarantees hop-to-hop state carry,
+  * `(h, r) -> {t}` filter sets over all splits for filtered ranking
+    (`load_data.py:30,53-54,65-66`),
+  * grouped evaluation queries (`load_data.py:91-104`),
+  * the per-epoch random 3:1 facts/train re-split (`load_data.py:152-164`).
+
+The TPU-facing representation is a head-sorted CSR (`rowptr`, `rel`, `tail`)
+living in HBM; re-splits rebuild it host-side with *identical shapes* so the
+compiled propagation program is reused across epochs.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_csr(
+    triples: np.ndarray, n_ent: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Head-sorted CSR from an (N, 3) int array of (head, rel, tail)."""
+    heads = triples[:, 0]
+    order = np.argsort(heads, kind="stable")
+    sorted_t = triples[order]
+    counts = np.bincount(heads, minlength=n_ent)
+    rowptr = np.zeros(n_ent + 1, dtype=np.int32)
+    np.cumsum(counts, out=rowptr[1:])
+    return (
+        rowptr,
+        sorted_t[:, 1].astype(np.int32),
+        sorted_t[:, 2].astype(np.int32),
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceGraph:
+    """Immutable device-resident CSR fact graph (+ self-loops)."""
+
+    def __init__(self, rowptr, rel, tail):
+        self.rowptr = rowptr
+        self.rel = rel
+        self.tail = tail
+
+    @property
+    def n_edges(self) -> int:
+        return self.rel.shape[0]
+
+    @classmethod
+    def from_triples(cls, triples: np.ndarray, n_ent: int) -> "DeviceGraph":
+        rowptr, rel, tail = build_csr(triples, n_ent)
+        return cls(jnp.asarray(rowptr), jnp.asarray(rel), jnp.asarray(tail))
+
+    def tree_flatten(self):
+        return (self.rowptr, self.rel, self.tail), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _add_self_loops(triples: np.ndarray, n_ent: int, idd_rel: int) -> np.ndarray:
+    ents = np.arange(n_ent, dtype=np.int64)
+    idd = np.stack([ents, np.full(n_ent, idd_rel, dtype=np.int64), ents], 1)
+    if len(triples) == 0:
+        return idd
+    return np.concatenate([triples, idd], 0)
+
+
+def _double(triples: np.ndarray, n_rel: int) -> np.ndarray:
+    """Append inverse edges (t, r + n_rel, h) — `load_data.py:69-74`."""
+    if len(triples) == 0:
+        return triples.reshape(0, 3)
+    inv = np.stack(
+        [triples[:, 2], triples[:, 1] + n_rel, triples[:, 0]], 1
+    )
+    return np.concatenate([triples, inv], 0)
+
+
+def _read_vocab(path: str) -> Dict[str, int]:
+    vocab: Dict[str, int] = {}
+    with open(path) as f:
+        for i, line in enumerate(f):
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            parts = line.split("\t")
+            if len(parts) == 2 and parts[1].strip().isdigit():
+                vocab[parts[0]] = int(parts[1])
+            else:
+                vocab[line.strip()] = i
+    return vocab
+
+
+@dataclass
+class StaticKG:
+    """Host-side container for a static transductive KG with splits."""
+
+    n_ent: int
+    n_rel: int
+    fact: np.ndarray   # (F, 3) original direction only
+    train: np.ndarray  # (T, 3) original direction only
+    valid: np.ndarray
+    test: np.ndarray
+    filters: Dict[Tuple[int, int], np.ndarray] = field(default_factory=dict)
+    entity2id: Dict[str, int] = field(default_factory=dict)
+    relation2id: Dict[str, int] = field(default_factory=dict)
+
+    # populated by resplit()/finalize
+    train_data: np.ndarray | None = None  # doubled training queries
+    graph_np: Tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+    graph: DeviceGraph | None = None
+    eval_graph: DeviceGraph | None = None
+
+    @property
+    def idd_rel(self) -> int:
+        return 2 * self.n_rel
+
+    @property
+    def n_graph_edges(self) -> int:
+        """Edge count of the (doubled + self-loop) train-time fact graph.
+
+        Constant across re-splits because the 3:1 ratio is deterministic in
+        the pool size (`load_data.py:160-163`).
+        """
+        pool = len(self.fact) + len(self.train)
+        return (pool * 3 // 4) * 2 + self.n_ent
+
+    @classmethod
+    def load(cls, data_dir: str) -> "StaticKG":
+        entity2id = _read_vocab(os.path.join(data_dir, "entities.txt"))
+        relation2id = _read_vocab(os.path.join(data_dir, "relations.txt"))
+        n_ent, n_rel = len(entity2id), len(relation2id)
+
+        filters: Dict[Tuple[int, int], set] = defaultdict(set)
+
+        def read(fname: str) -> np.ndarray:
+            out = []
+            with open(os.path.join(data_dir, fname)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    h, r, t = line.split()
+                    h, r, t = entity2id[h], relation2id[r], entity2id[t]
+                    out.append((h, r, t))
+                    filters[(h, r)].add(t)
+                    filters[(t, r + n_rel)].add(h)
+            return np.array(out, dtype=np.int64).reshape(-1, 3)
+
+        kg = cls(
+            n_ent=n_ent,
+            n_rel=n_rel,
+            fact=read("facts.txt"),
+            train=read("train.txt"),
+            valid=read("valid.txt"),
+            test=read("test.txt"),
+            entity2id=entity2id,
+            relation2id=relation2id,
+        )
+        kg.filters = {k: np.array(sorted(v)) for k, v in filters.items()}
+
+        # Evaluation graph = facts + train, doubled, + self-loops; built once
+        # and never re-split (`load_data.py:84-89`).
+        eval_triples = _add_self_loops(
+            _double(np.concatenate([kg.fact, kg.train], 0), n_rel),
+            n_ent,
+            kg.idd_rel,
+        )
+        kg.eval_graph = DeviceGraph.from_triples(eval_triples, n_ent)
+        kg.eval_graph_np = build_csr(eval_triples, n_ent)
+
+        # Initial split: facts as graph, train as queries (`load_data.py:37-43`).
+        kg._set_graph(kg.fact, kg.train)
+        return kg
+
+    def _set_graph(self, graph_triples: np.ndarray, query_triples: np.ndarray):
+        self.train_data = _double(query_triples, self.n_rel)
+        g = _add_self_loops(
+            _double(graph_triples, self.n_rel), self.n_ent, self.idd_rel
+        )
+        self.graph_np = build_csr(g, self.n_ent)
+        if self.graph is None:
+            self.graph = DeviceGraph(
+                jnp.asarray(self.graph_np[0]),
+                jnp.asarray(self.graph_np[1]),
+                jnp.asarray(self.graph_np[2]),
+            )
+        else:
+            # donate-in-place style refresh: same shapes, no re-compile
+            self.graph = DeviceGraph(
+                jnp.asarray(self.graph_np[0]),
+                jnp.asarray(self.graph_np[1]),
+                jnp.asarray(self.graph_np[2]),
+            )
+
+    def resplit(self, rng: np.random.Generator) -> None:
+        """Per-epoch random 3:1 facts/train re-split (`load_data.py:152-164`).
+
+        Shapes stay constant so the jitted step is reused.
+        """
+        pool = np.concatenate([self.fact, self.train], 0)
+        perm = rng.permutation(len(pool))
+        pool = pool[perm]
+        cut = len(pool) * 3 // 4
+        self._set_graph(pool[:cut], pool[cut:])
+
+    # ---- evaluation queries grouped by (h, r) — `load_data.py:91-104` ----
+    def eval_queries(
+        self, split: str
+    ) -> Tuple[np.ndarray, List[np.ndarray]]:
+        triples = {"valid": self.valid, "test": self.test}[split]
+        doubled = _double(triples, self.n_rel)
+        groups: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+        for h, r, t in doubled:
+            groups[(h, r)].append(t)
+        keys = sorted(groups.keys())
+        queries = np.array(keys, dtype=np.int64).reshape(-1, 2)
+        answers = [np.array(sorted(set(groups[k]))) for k in keys]
+        return queries, answers
+
+    def filter_row(self, h: int, r: int) -> np.ndarray:
+        """Known-true tails for (h, r) across all splits (for filtered MRR)."""
+        return self.filters.get((h, r), np.empty(0, dtype=np.int64))

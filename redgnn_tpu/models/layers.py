@@ -1,0 +1,128 @@
+"""Propagation building blocks: relation-conditioned attention + GRU gate.
+
+Math parity targets (re-derived, not translated):
+  * `GNNLayer.forward` (`Static/transductive/models.py:23-42`):
+        message  m_e = h_src + h_rel
+        alpha_e  = sigmoid(w_a . ReLU(W_s h_src + W_r h_rel + W_q h_qrel + b_q) + b_a)
+        agg_v    = sum over edges e with dst(e)=v of alpha_e * m_e
+        h'_v     = act(W_h agg_v)
+  * the inter-hop GRU gate (`Static/transductive/models.py:63,81-84`), a
+    1-step cuDNN GRU in the reference — here an explicit GRU cell (the
+    hidden dims are 16-64; this is VPU work, not MXU work).
+
+All edge arrays are padded/sorted by the frontier op; invalid edges carry
+zero messages so the sorted segment-sum stays exact.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from redgnn_tpu.ops.frontier import Frontier
+from redgnn_tpu.ops.segment import segment_sum
+
+ACTIVATIONS: dict[str, Callable] = {
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "idd": lambda x: x,
+}
+
+
+def _uniform_init(scale_from_fan_in: bool = True):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — the torch nn.Linear default,
+    kept so hyperparameters tuned against the reference transfer."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0] if len(shape) > 1 else shape[0]
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class RelAttnLayer(nn.Module):
+    """One hop of query-conditioned relational attention propagation."""
+
+    hidden_dim: int
+    attn_dim: int
+    n_rel: int  # raw relation count; table holds 2*n_rel+1 (inverse + idd)
+    act: str = "relu"
+    segment_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_prev: jnp.ndarray,  # (prev_cap, D)
+        q_rel: jnp.ndarray,        # (B,) query relation per batch element
+        frontier: Frontier,
+        node_cap: int,
+    ) -> jnp.ndarray:
+        rela_embed = self.param(
+            "rela_embed",
+            nn.initializers.normal(1.0),
+            (2 * self.n_rel + 1, self.hidden_dim),
+        )
+        ws = nn.Dense(self.attn_dim, use_bias=False,
+                      kernel_init=_uniform_init(), name="Ws_attn")
+        wr = nn.Dense(self.attn_dim, use_bias=False,
+                      kernel_init=_uniform_init(), name="Wr_attn")
+        wqr = nn.Dense(self.attn_dim, use_bias=True,
+                       kernel_init=_uniform_init(),
+                       bias_init=_uniform_init(), name="Wqr_attn")
+        w_alpha = nn.Dense(1, use_bias=True, kernel_init=_uniform_init(),
+                           bias_init=_uniform_init(), name="w_alpha")
+        w_h = nn.Dense(self.hidden_dim, use_bias=False,
+                       kernel_init=_uniform_init(), name="W_h")
+
+        hs = hidden_prev[frontier.src]            # (E, D) gather
+        hr = rela_embed[frontier.rel]             # (E, D)
+        h_qr = rela_embed[q_rel][frontier.batch]  # (E, D)
+
+        logits = w_alpha(jax.nn.relu(ws(hs) + wr(hr) + wqr(h_qr)))
+        alpha = jax.nn.sigmoid(logits)
+        message = (hs + hr) * alpha
+        message = jnp.where(frontier.edge_valid[:, None], message, 0.0)
+
+        agg = segment_sum(
+            message,
+            frontier.dst,
+            num_segments=node_cap,
+            indices_are_sorted=True,
+            impl=self.segment_impl,
+        )
+        return ACTIVATIONS[self.act](w_h(agg))
+
+
+class GRUGate(nn.Module):
+    """Single-step GRU carrying node state across hops.
+
+    Matches the torch GRU gate equations (two bias vectors) so tuned
+    hyperparameters transfer:
+        r = sigmoid(x W_ir + b_ir + h W_hr + b_hr)
+        z = sigmoid(x W_iz + b_iz + h W_hz + b_hz)
+        n = tanh(x W_in + b_in + r * (h W_hn + b_hn))
+        h' = (1 - z) * n + z * h
+    """
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+        d = self.hidden_dim
+        w_ih = self.param("w_ih", _uniform_init(), (d, 3 * d))
+        w_hh = self.param("w_hh", _uniform_init(), (d, 3 * d))
+        b_ih = self.param("b_ih", _uniform_init(), (3 * d,))
+        b_hh = self.param("b_hh", _uniform_init(), (3 * d,))
+
+        gi = x @ w_ih + b_ih
+        gh = h @ w_hh + b_hh
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        return (1.0 - z) * n + z * h

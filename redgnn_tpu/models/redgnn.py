@@ -1,0 +1,119 @@
+"""RED-GNN: query-dependent relational digraph propagation, one XLA program.
+
+Capability parity with `RED_GNN_trans` (`Static/transductive/models.py:45-89`)
+and `RED_GNN_induc` (`Static/inductive/models.py:45-89`), re-architected for
+TPU: the reference calls back into the host data loader once per hop
+(`models.py:78`); here the L-hop loop — expansion, attention, aggregation,
+gating, scoring — is traced once with static per-hop capacities and runs
+entirely on device.
+
+Entities never reached within L hops score 0 (`models.py:86-88`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from redgnn_tpu.graph.calibrate import FrontierCaps
+from redgnn_tpu.graph.kg import DeviceGraph
+from redgnn_tpu.models.layers import GRUGate, RelAttnLayer, _uniform_init
+from redgnn_tpu.ops.frontier import (
+    SENTINEL,
+    align_old_to_new,
+    expand_frontier,
+)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    n_ent: int
+    n_rel: int
+    hidden_dim: int = 48
+    attn_dim: int = 5
+    n_layer: int = 3
+    dropout: float = 0.29
+    act: str = "relu"
+    segment_impl: str = "xla"
+
+
+class RedGNN(nn.Module):
+    """L-hop frontier propagation scoring every reached entity."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: DeviceGraph,
+        subs: jnp.ndarray,     # (B,) query head entities
+        rels: jnp.ndarray,     # (B,) query relations
+        qmask: jnp.ndarray,    # (B,) bool — false for padded queries
+        caps: FrontierCaps,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        cfg = self.cfg
+        b = subs.shape[0]
+        d = cfg.hidden_dim
+
+        # initial frontier: one node per query, key = b * n_ent + head
+        keys0 = subs.astype(jnp.int32) + jnp.arange(b, dtype=jnp.int32) * cfg.n_ent
+        node_keys = jnp.where(qmask, keys0, SENTINEL)
+        hidden = jnp.zeros((b, d))
+        h0 = jnp.zeros((b, d))
+
+        gate = GRUGate(cfg.hidden_dim, name="gate")
+        aux: Dict[str, Any] = {"edge_overflow": [], "node_overflow": [],
+                               "num_nodes": [], "num_edges": []}
+
+        for i in range(cfg.n_layer):
+            fr = expand_frontier(
+                graph.rowptr, graph.rel, graph.tail,
+                cfg.n_ent, node_keys,
+                edge_cap=caps.edge_caps[i],
+                node_cap=caps.node_caps[i + 1],
+            )
+            layer = RelAttnLayer(
+                hidden_dim=cfg.hidden_dim,
+                attn_dim=cfg.attn_dim,
+                n_rel=cfg.n_rel,
+                act=cfg.act,
+                segment_impl=cfg.segment_impl,
+                name=f"layer_{i}",
+            )
+            new_hidden = layer(hidden, rels, fr, caps.node_caps[i + 1])
+            # carry GRU state: previous nodes keep h0, new nodes start at 0
+            h0 = align_old_to_new(node_keys, fr.node_keys, h0,
+                                  caps.node_caps[i + 1])
+            new_hidden = nn.Dropout(cfg.dropout, deterministic=not train)(
+                new_hidden
+            )
+            hidden = gate(new_hidden, h0)
+            h0 = hidden
+            node_keys = fr.node_keys
+
+            aux["edge_overflow"].append(fr.edge_overflow)
+            aux["node_overflow"].append(fr.node_overflow)
+            aux["num_nodes"].append(fr.num_nodes)
+            aux["num_edges"].append(fr.num_edges)
+
+        w_final = nn.Dense(1, use_bias=False, kernel_init=_uniform_init(),
+                           name="W_final")
+        scores = w_final(hidden)[:, 0]  # (node_cap_L,)
+
+        valid = node_keys != SENTINEL
+        batch_idx = jnp.where(valid, node_keys // cfg.n_ent, b)
+        ent_idx = jnp.where(valid, node_keys % cfg.n_ent, 0)
+        scores_all = jnp.zeros((b, cfg.n_ent)).at[batch_idx, ent_idx].set(
+            jnp.where(valid, scores, 0.0), mode="drop"
+        )
+
+        for k in ("edge_overflow", "node_overflow"):
+            aux[k] = jnp.stack(aux[k])
+        for k in ("num_nodes", "num_edges"):
+            aux[k] = jnp.stack(aux[k])
+        return scores_all, aux

@@ -1,0 +1,153 @@
+"""Fixed-shape, fully on-device frontier expansion.
+
+This replaces the reference's `DataLoader.get_neighbors`
+(`Static/transductive/load_data.py:106-131`), which per hop per batch:
+  1. copies the frontier GPU->CPU (`Static/transductive/models.py:78`),
+  2. runs a scipy CSR SpMM + np.nonzero on the host to find incident edges,
+  3. copies the edge list back to the GPU (`load_data.py:119`),
+  4. runs `torch.unique(dim=0)` twice to compact node ids.
+
+On TPU the entire expansion is a static-shape XLA program:
+
+  * the frontier is a flat array of ``node keys`` (``batch_idx * n_ent +
+    entity_id``) padded to a per-hop capacity with SENTINEL,
+  * incident edges are enumerated by a degree cumsum + searchsorted over a
+    device-resident CSR (no host round-trip, no dynamic shapes),
+  * deduplication of next-hop nodes is a sort + adjacent-compare (the XLA
+    equivalent of `torch.unique(sorted=True, return_inverse=True)`), which
+    additionally leaves the edge list *sorted by destination segment* so the
+    downstream segment-sum can use the in-order accumulation path.
+
+Capacities come from :mod:`redgnn_tpu.graph.calibrate`; overflow is detected
+on device and surfaced as flags so the host can grow the bucket and re-run
+(growth is geometric, so re-compiles are O(log) in frontier size).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Padding key. Max int32 so that padded entries sort to the end.
+SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+class Frontier(NamedTuple):
+    """One hop of expansion: the new node set and its incident edge list.
+
+    Edge arrays all have length ``edge_cap`` and are sorted by ``dst``.
+    Node arrays have length ``node_cap``.
+    """
+
+    # --- nodes (next frontier) ---
+    node_keys: jnp.ndarray  # (node_cap,) int32, sorted asc; SENTINEL = pad
+    num_nodes: jnp.ndarray  # () int32 — count of valid (non-pad) nodes
+    # --- edges ---
+    src: jnp.ndarray        # (edge_cap,) int32 — slot in the *previous* frontier
+    dst: jnp.ndarray        # (edge_cap,) int32 — slot in node_keys (sorted asc)
+    rel: jnp.ndarray        # (edge_cap,) int32 — relation id
+    batch: jnp.ndarray      # (edge_cap,) int32 — query index within batch
+    edge_valid: jnp.ndarray  # (edge_cap,) bool
+    num_edges: jnp.ndarray  # () int32 — true incident edge count (pre-clip)
+    # --- overflow diagnostics ---
+    edge_overflow: jnp.ndarray  # () bool — true edge count exceeded edge_cap
+    node_overflow: jnp.ndarray  # () bool — unique node count exceeded node_cap
+
+
+def expand_frontier(
+    rowptr: jnp.ndarray,
+    erel: jnp.ndarray,
+    etail: jnp.ndarray,
+    n_ent: int,
+    node_keys: jnp.ndarray,
+    edge_cap: int,
+    node_cap: int,
+) -> Frontier:
+    """Expand one hop: gather all edges whose head is in the frontier.
+
+    Args:
+      rowptr: (n_ent + 1,) CSR row offsets of the fact graph, rows = head.
+      erel / etail: (n_fact,) relation / tail columns, head-sorted.
+      n_ent: number of entities (static).
+      node_keys: (prev_cap,) int32 frontier keys, SENTINEL-padded.
+      edge_cap: static capacity for the emitted edge list.
+      node_cap: static capacity for the next frontier.
+    """
+    prev_cap = node_keys.shape[0]
+    valid_node = node_keys != SENTINEL
+    ent = jnp.where(valid_node, node_keys % n_ent, 0)
+    deg = jnp.where(valid_node, rowptr[ent + 1] - rowptr[ent], 0)
+    cum = jnp.cumsum(deg)
+    total_edges = cum[-1]
+    start = cum - deg
+
+    e_idx = jnp.arange(edge_cap, dtype=jnp.int32)
+    # Which frontier slot does output edge slot e belong to?
+    src = jnp.searchsorted(cum, e_idx, side="right").astype(jnp.int32)
+    edge_valid = e_idx < total_edges
+    src_c = jnp.minimum(src, prev_cap - 1)
+    within = e_idx - start[src_c]
+    edge_id = rowptr[ent[src_c]] + within
+    edge_id = jnp.where(edge_valid, edge_id, 0)
+    rel_e = erel[edge_id]
+    tail_e = etail[edge_id]
+    batch_e = node_keys[src_c] // n_ent
+    tail_key = jnp.where(edge_valid, batch_e * n_ent + tail_e, SENTINEL)
+
+    # Deduplicate destination keys: sort + adjacent-compare. Stable sort keeps
+    # a deterministic edge order; pads (SENTINEL) land at the end.
+    order = jnp.argsort(tail_key, stable=True)
+    sk = tail_key[order]
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sk[1:] != sk[:-1]]
+    )
+    uid = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # dense unique rank per edge
+    num_unique_valid = jnp.sum(is_new & (sk != SENTINEL)).astype(jnp.int32)
+    node_overflow = num_unique_valid > node_cap
+
+    new_keys = (
+        jnp.full((node_cap,), SENTINEL, dtype=jnp.int32)
+        .at[uid]
+        .set(sk, mode="drop")
+    )
+
+    dst = jnp.minimum(uid, node_cap - 1).astype(jnp.int32)
+    edge_valid_sorted = edge_valid[order] & (uid < node_cap)
+
+    return Frontier(
+        node_keys=new_keys,
+        num_nodes=num_unique_valid,
+        src=src_c[order],
+        dst=dst,
+        rel=jnp.where(edge_valid_sorted, rel_e[order], 0),
+        batch=jnp.where(edge_valid_sorted, batch_e[order], 0),
+        edge_valid=edge_valid_sorted,
+        num_edges=total_edges.astype(jnp.int32),
+        edge_overflow=total_edges > edge_cap,
+        node_overflow=node_overflow,
+    )
+
+
+def align_old_to_new(
+    old_keys: jnp.ndarray,
+    new_keys: jnp.ndarray,
+    old_values: jnp.ndarray,
+    node_cap: int,
+) -> jnp.ndarray:
+    """Carry per-node state across a re-indexing hop.
+
+    Equivalent of the reference's `old_nodes_new_idx` + `index_copy_` trick
+    (`Static/transductive/models.py:81-84`, built from the self-loop edge
+    mask at `load_data.py:126-129`): every old node has a self-loop, so it
+    appears in the new frontier; here we find its new slot directly by
+    binary search over the sorted new key array. New nodes get zeros.
+    """
+    valid = old_keys != SENTINEL
+    pos = jnp.searchsorted(new_keys, old_keys).astype(jnp.int32)
+    pos = jnp.where(valid, pos, node_cap)  # out of range => dropped
+    out_shape = (node_cap,) + old_values.shape[1:]
+    return jnp.zeros(out_shape, old_values.dtype).at[pos].set(
+        old_values, mode="drop"
+    )

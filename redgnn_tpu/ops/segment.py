@@ -1,0 +1,117 @@
+"""Segment reductions — the aggregation primitives of relational propagation.
+
+The reference delegates these to the torch_scatter CUDA extension
+(`Static/transductive/models.py:39`, scatter-sum by tail node;
+`Temporal/extrapolation/model_cuda_new_embedding.py:248`, scatter_softmax)
+and to torch.sparse matmuls (`Temporal/extrapolation/segment.py`).
+
+Here they are XLA-native: `jax.ops.segment_sum` lowers to a TPU scatter-add,
+and because the frontier expansion in :mod:`redgnn_tpu.ops.frontier` emits
+edges *sorted by destination segment*, we can pass
+``indices_are_sorted=True`` which lets XLA use the cheaper in-order update
+path. A Pallas sorted-segment kernel (one-hot matmul accumulation on the
+MXU) lives in :mod:`redgnn_tpu.ops.segment_pallas` and is selected with
+``impl='pallas'`` for large edge counts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Sum `data` rows into `num_segments` buckets keyed by `segment_ids`.
+
+    Out-of-range segment ids (e.g. masked/padded edges mapped to
+    ``num_segments``) are dropped, matching torch_scatter semantics where
+    padded messages are pre-zeroed.
+    """
+    if impl == "pallas":
+        from redgnn_tpu.ops.segment_pallas import segment_sum_pallas
+
+        return segment_sum_pallas(data, segment_ids, num_segments)
+    return jax.ops.segment_sum(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+
+
+def segment_max(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Per-segment maximum; empty segments get -inf (clamped to -1e30)."""
+    out = jax.ops.segment_max(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+    return jnp.maximum(out, _NEG_INF)
+
+
+def segment_softmax(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    valid: jnp.ndarray | None = None,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Numerically stable softmax within each segment.
+
+    Replaces `torch_scatter.composite.scatter_softmax`
+    (`Temporal/extrapolation/model_cuda_new_embedding.py:7,248`): the
+    classic segment-max -> exp -> segment-sum -> divide decomposition.
+
+    ``valid`` masks padded entries: they contribute nothing and get 0.
+    """
+    if valid is not None:
+        seg = jnp.where(valid, segment_ids, num_segments)
+    else:
+        seg = segment_ids
+    m = segment_max(data, seg, num_segments, indices_are_sorted)
+    centered = jnp.exp(data - m[jnp.minimum(seg, num_segments - 1)])
+    if valid is not None:
+        centered = jnp.where(valid, centered, 0.0)
+    denom = segment_sum(centered, seg, num_segments, indices_are_sorted)
+    denom = jnp.maximum(denom, 1e-20)
+    out = centered / denom[jnp.minimum(seg, num_segments - 1)]
+    if valid is not None:
+        out = jnp.where(valid, out, 0.0)
+    return out
+
+
+def segment_normalize_l1(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    valid: jnp.ndarray | None = None,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """L1-normalize non-negative scores within each segment.
+
+    Counterpart of `segment_norm_l1` (`Temporal/extrapolation/segment.py:180`).
+    """
+    if valid is not None:
+        seg = jnp.where(valid, segment_ids, num_segments)
+        data = jnp.where(valid, data, 0.0)
+    else:
+        seg = segment_ids
+    denom = segment_sum(data, seg, num_segments, indices_are_sorted)
+    denom = jnp.maximum(denom, 1e-20)
+    return data / denom[jnp.minimum(seg, num_segments - 1)]

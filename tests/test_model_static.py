@@ -1,0 +1,142 @@
+"""Full forward parity: padded TPU model vs a dynamic-shape numpy oracle.
+
+The oracle is a clean-room numpy re-derivation of the reference forward
+(`Static/transductive/models.py:23-89`): per-hop frontier growth, message
+attention, scatter-sum, GRU gating, and zero scores for unreached entities.
+Same weights => identical dense score matrices (up to fp tolerance).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from redgnn_tpu.graph.calibrate import FrontierCaps
+from redgnn_tpu.graph.kg import DeviceGraph, build_csr
+from redgnn_tpu.models.redgnn import ModelConfig, RedGNN
+
+N_ENT, N_REL, D, A, L = 25, 4, 16, 5, 3
+
+
+def sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def make_graph(rng, n_edges=80):
+    h = rng.integers(0, N_ENT, n_edges)
+    r = rng.integers(0, 2 * N_REL, n_edges)
+    t = rng.integers(0, N_ENT, n_edges)
+    triples = np.stack([h, r, t], 1)
+    ents = np.arange(N_ENT)
+    idd = np.stack([ents, np.full(N_ENT, 2 * N_REL), ents], 1)
+    return np.concatenate([triples, idd], 0)
+
+
+def oracle_forward(params, triples, subs, rels):
+    b = len(subs)
+    nodes = [(i, int(s)) for i, s in enumerate(subs)]  # (batch, ent)
+    hidden = np.zeros((b, D))
+    h0 = np.zeros((b, D))
+    gp = params["gate"]
+
+    for layer in range(L):
+        lp = params[f"layer_{layer}"]
+        rela = np.asarray(lp["rela_embed"])
+        edges = []  # (dst_key, src_slot, rel)
+        for si, (bi, e) in enumerate(nodes):
+            for h, r, t in triples[triples[:, 0] == e]:
+                edges.append((bi * N_ENT + t, si, int(r), bi))
+        tail_keys = sorted({k for k, *_ in edges})
+        key2slot = {k: i for i, k in enumerate(tail_keys)}
+
+        agg = np.zeros((len(tail_keys), D))
+        for key, si, r, bi in edges:
+            hs = hidden[si]
+            hr = rela[r]
+            h_qr = rela[int(rels[bi])]
+            pre = (
+                hs @ np.asarray(lp["Ws_attn"]["kernel"])
+                + hr @ np.asarray(lp["Wr_attn"]["kernel"])
+                + h_qr @ np.asarray(lp["Wqr_attn"]["kernel"])
+                + np.asarray(lp["Wqr_attn"]["bias"])
+            )
+            alpha = sigmoid(
+                np.maximum(pre, 0) @ np.asarray(lp["w_alpha"]["kernel"])
+                + np.asarray(lp["w_alpha"]["bias"])
+            )
+            agg[key2slot[key]] += alpha[0] * (hs + hr)
+        hidden_new = np.maximum(agg @ np.asarray(lp["W_h"]["kernel"]), 0)
+
+        h0_new = np.zeros((len(tail_keys), D))
+        for si, (bi, e) in enumerate(nodes):
+            h0_new[key2slot[bi * N_ENT + e]] = h0[si]
+
+        # GRU (torch equations)
+        gi = hidden_new @ np.asarray(gp["w_ih"]) + np.asarray(gp["b_ih"])
+        gh = h0_new @ np.asarray(gp["w_hh"]) + np.asarray(gp["b_hh"])
+        i_r, i_z, i_n = np.split(gi, 3, axis=1)
+        h_r, h_z, h_n = np.split(gh, 3, axis=1)
+        r_g = sigmoid(i_r + h_r)
+        z_g = sigmoid(i_z + h_z)
+        n_g = np.tanh(i_n + r_g * h_n)
+        hidden = (1 - z_g) * n_g + z_g * h0_new
+        h0 = hidden
+        nodes = [(k // N_ENT, k % N_ENT) for k in tail_keys]
+
+    scores = (hidden @ np.asarray(params["W_final"]["kernel"]))[:, 0]
+    out = np.zeros((b, N_ENT))
+    for si, (bi, e) in enumerate(nodes):
+        out[bi, e] = scores[si]
+    return out
+
+
+def test_forward_matches_oracle(rng):
+    triples = make_graph(rng)
+    rowptr, rel, tail = build_csr(triples, N_ENT)
+    graph = DeviceGraph(jnp.asarray(rowptr), jnp.asarray(rel),
+                        jnp.asarray(tail))
+
+    cfg = ModelConfig(n_ent=N_ENT, n_rel=N_REL, hidden_dim=D, attn_dim=A,
+                      n_layer=L, dropout=0.0, act="relu")
+    model = RedGNN(cfg)
+    b = 4
+    subs = rng.integers(0, N_ENT, b)
+    rels = rng.integers(0, 2 * N_REL, b)
+    caps = FrontierCaps((b, 256, 256, 256), (2048, 2048, 2048))
+
+    key = jax.random.PRNGKey(42)
+    variables = model.init(
+        {"params": key, "dropout": key}, graph,
+        jnp.asarray(subs, jnp.int32), jnp.asarray(rels, jnp.int32),
+        jnp.ones(b, bool), caps, False,
+    )
+    scores, aux = model.apply(
+        variables, graph, jnp.asarray(subs, jnp.int32),
+        jnp.asarray(rels, jnp.int32), jnp.ones(b, bool), caps, False,
+    )
+    assert not bool(jnp.any(aux["edge_overflow"]))
+    assert not bool(jnp.any(aux["node_overflow"]))
+
+    expected = oracle_forward(
+        jax.device_get(variables["params"]), triples, subs, rels
+    )
+    np.testing.assert_allclose(np.asarray(scores), expected, atol=2e-5)
+
+
+def test_padded_queries_score_zero(rng):
+    triples = make_graph(rng)
+    rowptr, rel, tail = build_csr(triples, N_ENT)
+    graph = DeviceGraph(jnp.asarray(rowptr), jnp.asarray(rel),
+                        jnp.asarray(tail))
+    cfg = ModelConfig(n_ent=N_ENT, n_rel=N_REL, hidden_dim=D, attn_dim=A,
+                      n_layer=2, dropout=0.0)
+    model = RedGNN(cfg)
+    b = 4
+    caps = FrontierCaps((b, 128, 128), (1024, 1024))
+    qmask = jnp.asarray([True, True, False, False])
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, graph,
+                           jnp.zeros(b, jnp.int32), jnp.zeros(b, jnp.int32),
+                           qmask, caps, False)
+    scores, _ = model.apply(variables, graph, jnp.zeros(b, jnp.int32),
+                            jnp.zeros(b, jnp.int32), qmask, caps, False)
+    assert np.all(np.asarray(scores)[2:] == 0.0)

@@ -1,0 +1,83 @@
+"""Segment reduction ops vs numpy oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from redgnn_tpu.ops.segment import (
+    segment_max,
+    segment_normalize_l1,
+    segment_softmax,
+    segment_sum,
+)
+
+
+def _np_segment_sum(data, seg, n):
+    out = np.zeros((n,) + data.shape[1:], data.dtype)
+    for i, s in enumerate(seg):
+        if 0 <= s < n:
+            out[s] += data[i]
+    return out
+
+
+def test_segment_sum_matches_numpy(rng):
+    data = rng.normal(size=(200, 16)).astype(np.float32)
+    seg = rng.integers(0, 50, size=200)
+    got = segment_sum(jnp.asarray(data), jnp.asarray(seg), 50)
+    np.testing.assert_allclose(got, _np_segment_sum(data, seg, 50), rtol=1e-5)
+
+
+def test_segment_sum_sorted_path(rng):
+    data = rng.normal(size=(128, 8)).astype(np.float32)
+    seg = np.sort(rng.integers(0, 30, size=128))
+    got = segment_sum(jnp.asarray(data), jnp.asarray(seg), 30,
+                      indices_are_sorted=True)
+    np.testing.assert_allclose(got, _np_segment_sum(data, seg, 30), rtol=1e-5)
+
+
+def test_segment_sum_drops_out_of_range(rng):
+    data = np.ones((10, 4), np.float32)
+    seg = np.array([0, 1, 2, 99, 99, 3, 3, 4, 100, 5])
+    got = np.asarray(segment_sum(jnp.asarray(data), jnp.asarray(seg), 6))
+    expected = _np_segment_sum(data, seg, 6)
+    np.testing.assert_allclose(got, expected)
+
+
+def test_segment_max(rng):
+    data = rng.normal(size=(100,)).astype(np.float32)
+    seg = rng.integers(0, 20, size=100)
+    got = np.asarray(segment_max(jnp.asarray(data), jnp.asarray(seg), 21))
+    for s in range(20):
+        vals = data[seg == s]
+        if len(vals):
+            np.testing.assert_allclose(got[s], vals.max(), rtol=1e-6)
+    assert got[20] <= -1e29  # empty segment
+
+
+def test_segment_softmax_sums_to_one(rng):
+    data = rng.normal(size=(100,)).astype(np.float32)
+    seg = np.sort(rng.integers(0, 10, size=100))
+    valid = rng.random(100) > 0.2
+    out = np.asarray(
+        segment_softmax(jnp.asarray(data), jnp.asarray(seg), 10,
+                        valid=jnp.asarray(valid))
+    )
+    assert np.all(out[~valid] == 0)
+    for s in range(10):
+        m = (seg == s) & valid
+        if m.sum():
+            np.testing.assert_allclose(out[m].sum(), 1.0, rtol=1e-5)
+            # matches direct softmax
+            e = np.exp(data[m] - data[m].max())
+            np.testing.assert_allclose(out[m], e / e.sum(), rtol=1e-5)
+
+
+def test_segment_normalize_l1(rng):
+    data = np.abs(rng.normal(size=(50,))).astype(np.float32)
+    seg = rng.integers(0, 5, size=50)
+    out = np.asarray(
+        segment_normalize_l1(jnp.asarray(data), jnp.asarray(seg), 5)
+    )
+    for s in range(5):
+        m = seg == s
+        if m.sum():
+            np.testing.assert_allclose(out[m].sum(), 1.0, rtol=1e-5)
