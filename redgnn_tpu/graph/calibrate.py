@@ -46,20 +46,31 @@ def simulate_hops(
     heads: np.ndarray,
     n_layer: int,
 ) -> Tuple[List[int], List[int]]:
-    """Exact node/edge counts per hop for one batch of query heads."""
+    """Exact node/edge counts per hop for one batch of query heads.
+
+    Fully vectorized numpy CSR walk (repeat/cumsum edge enumeration — the
+    host-side mirror of ops.frontier.expand_frontier).
+    """
+    rowptr = rowptr.astype(np.int64)
     keys = np.arange(len(heads), dtype=np.int64) * n_ent + heads
     node_counts = [len(keys)]
     edge_counts = []
     for _ in range(n_layer):
         ents = keys % n_ent
-        batches = keys // n_ent
-        degs = rowptr[ents + 1] - rowptr[ents]
-        edge_counts.append(int(degs.sum()))
-        # gather tails
-        tails = np.concatenate(
-            [tail[rowptr[e]: rowptr[e + 1]] + b * n_ent
-             for e, b in zip(ents, batches)]
-        ) if len(ents) else np.empty(0, dtype=np.int64)
+        batch_base = keys - ents  # b * n_ent
+        starts = rowptr[ents]
+        degs = rowptr[ents + 1] - starts
+        total = int(degs.sum())
+        edge_counts.append(total)
+        if total == 0:
+            keys = np.empty(0, dtype=np.int64)
+            node_counts.append(0)
+            continue
+        node_of_e = np.repeat(np.arange(len(keys)), degs)
+        excl = np.concatenate([[0], np.cumsum(degs)[:-1]])
+        within = np.arange(total) - excl[node_of_e]
+        edge_id = starts[node_of_e] + within
+        tails = tail[edge_id].astype(np.int64) + batch_base[node_of_e]
         keys = np.unique(tails)
         node_counts.append(len(keys))
     return node_counts, edge_counts

@@ -109,6 +109,23 @@ def _read_vocab(path: str) -> Dict[str, int]:
 
 
 @dataclass
+class EvalSpec:
+    """Everything a trainer needs to evaluate one split: the graph to
+    propagate over, its entity count (differs across graphs in the
+    inductive task), grouped queries, and filtered-ranking sets."""
+
+    queries: np.ndarray            # (Q, 2) grouped (h, r)
+    answers: List[np.ndarray]      # per-query answer entity ids
+    graph: "DeviceGraph"
+    graph_np: Tuple[np.ndarray, np.ndarray, np.ndarray]
+    n_ent: int
+    filters: Dict[Tuple[int, int], np.ndarray]
+
+    def filter_row(self, h: int, r: int) -> np.ndarray:
+        return self.filters.get((int(h), int(r)), np.empty(0, dtype=np.int64))
+
+
+@dataclass
 class StaticKG:
     """Host-side container for a static transductive KG with splits."""
 
@@ -237,3 +254,12 @@ class StaticKG:
     def filter_row(self, h: int, r: int) -> np.ndarray:
         """Known-true tails for (h, r) across all splits (for filtered MRR)."""
         return self.filters.get((h, r), np.empty(0, dtype=np.int64))
+
+    def eval_spec(self, split: str) -> EvalSpec:
+        """Evaluation happens on the facts+train graph (`load_data.py:110-112`)."""
+        queries, answers = self.eval_queries(split)
+        return EvalSpec(
+            queries=queries, answers=answers, graph=self.eval_graph,
+            graph_np=self.eval_graph_np, n_ent=self.n_ent,
+            filters=self.filters,
+        )

@@ -45,13 +45,22 @@ def _uniform_init(scale_from_fan_in: bool = True):
 
 
 class RelAttnLayer(nn.Module):
-    """One hop of query-conditioned relational attention propagation."""
+    """One hop of query-conditioned relational attention propagation.
+
+    When ``edge_axis`` is set (inside a shard_map over a device mesh), the
+    padded edge list is sliced across that mesh axis: each chip computes
+    attention + messages for ``edge_cap / edge_shards`` edges and a partial
+    segment-sum; a psum over ``edge_axis`` reassembles the per-node
+    aggregates. This is the edge-parallel propagation of SURVEY.md §5.
+    """
 
     hidden_dim: int
     attn_dim: int
     n_rel: int  # raw relation count; table holds 2*n_rel+1 (inverse + idd)
     act: str = "relu"
     segment_impl: str = "xla"
+    edge_axis: str | None = None
+    edge_shards: int = 1
 
     @nn.compact
     def __call__(
@@ -78,22 +87,35 @@ class RelAttnLayer(nn.Module):
         w_h = nn.Dense(self.hidden_dim, use_bias=False,
                        kernel_init=_uniform_init(), name="W_h")
 
-        hs = hidden_prev[frontier.src]            # (E, D) gather
-        hr = rela_embed[frontier.rel]             # (E, D)
-        h_qr = rela_embed[q_rel][frontier.batch]  # (E, D)
+        src, dst, rel, batch, valid = (
+            frontier.src, frontier.dst, frontier.rel, frontier.batch,
+            frontier.edge_valid,
+        )
+        if self.edge_axis is not None and self.edge_shards > 1:
+            # Slice this chip's chunk of the (replicated) edge list.
+            chunk = src.shape[0] // self.edge_shards
+            start = jax.lax.axis_index(self.edge_axis) * chunk
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk)
+            src, dst, rel, batch, valid = map(sl, (src, dst, rel, batch, valid))
+
+        hs = hidden_prev[src]            # (E, D) gather
+        hr = rela_embed[rel]             # (E, D)
+        h_qr = rela_embed[q_rel][batch]  # (E, D)
 
         logits = w_alpha(jax.nn.relu(ws(hs) + wr(hr) + wqr(h_qr)))
         alpha = jax.nn.sigmoid(logits)
         message = (hs + hr) * alpha
-        message = jnp.where(frontier.edge_valid[:, None], message, 0.0)
+        message = jnp.where(valid[:, None], message, 0.0)
 
         agg = segment_sum(
             message,
-            frontier.dst,
+            dst,
             num_segments=node_cap,
             indices_are_sorted=True,
             impl=self.segment_impl,
         )
+        if self.edge_axis is not None and self.edge_shards > 1:
+            agg = jax.lax.psum(agg, self.edge_axis)
         return ACTIVATIONS[self.act](w_h(agg))
 
 

@@ -39,6 +39,9 @@ class ModelConfig:
     dropout: float = 0.29
     act: str = "relu"
     segment_impl: str = "xla"
+    # edge-parallel propagation (set inside shard_map; SURVEY.md §5)
+    edge_axis: str | None = None
+    edge_shards: int = 1
 
 
 class RedGNN(nn.Module):
@@ -83,6 +86,8 @@ class RedGNN(nn.Module):
                 n_rel=cfg.n_rel,
                 act=cfg.act,
                 segment_impl=cfg.segment_impl,
+                edge_axis=cfg.edge_axis,
+                edge_shards=cfg.edge_shards,
                 name=f"layer_{i}",
             )
             new_hidden = layer(hidden, rels, fr, caps.node_caps[i + 1])

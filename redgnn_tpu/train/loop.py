@@ -76,8 +76,9 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
 class StaticTrainer:
     """Epoch driver for static transductive / inductive KGC."""
 
-    def __init__(self, kg: StaticKG, cfg: TrainConfig,
-                 eval_kg_overrides: Optional[dict] = None):
+    def __init__(self, kg, cfg: TrainConfig):
+        """``kg`` is a StaticKG or InductiveKG (anything with train_data,
+        graph/graph_np, n_ent/n_rel, eval_spec(split), resplit(rng))."""
         self.kg = kg
         self.cfg = cfg
         self.model_cfg = ModelConfig(
@@ -115,13 +116,10 @@ class StaticTrainer:
             rowptr, tail, kg.n_ent, kg.train_data[:, 0], cfg.n_batch,
             cfg.n_layer, headroom=cfg.cap_headroom,
         )
-        erowptr, _, etail = kg.eval_graph_np
-        vq, _ = kg.eval_queries("valid")
-        heads = vq[:, 0] if len(vq) else kg.train_data[:, 0]
-        self.eval_caps = calibrate_caps(
-            erowptr, etail, kg.n_ent, heads, cfg.n_tbatch,
-            cfg.n_layer, headroom=cfg.cap_headroom,
-        )
+        # per-split eval caps + jitted eval steps, built lazily (the eval
+        # graph / entity count differ per split in the inductive task)
+        self.eval_caps: Dict[str, FrontierCaps] = {}
+        self._eval_steps: Dict[int, Any] = {}
         self.t_train = 0.0
         self._np_rng = np.random.default_rng(cfg.seed)
         self.history: List[Dict[str, Any]] = []
@@ -129,9 +127,30 @@ class StaticTrainer:
         self._train_step = jax.jit(
             self._train_step_impl, static_argnames=("caps",)
         )
-        self._eval_step = jax.jit(
-            self._eval_step_impl, static_argnames=("caps",)
-        )
+
+    def _eval_step_for(self, n_ent: int):
+        """Jitted eval step for a graph with ``n_ent`` entities (params are
+        shared — no model parameter depends on the entity count)."""
+        if n_ent not in self._eval_steps:
+            import dataclasses
+
+            model = RedGNN(dataclasses.replace(self.model_cfg, n_ent=n_ent))
+
+            def eval_impl(params, graph, subs, rels, labels, filters,
+                          qmask, caps: FrontierCaps):
+                scores, aux = model.apply(
+                    {"params": params}, graph, subs, rels, qmask, caps,
+                    False,
+                )
+                sums = rank_metric_sums(scores, labels, filters)
+                overflow = (jnp.any(aux["edge_overflow"])
+                            | jnp.any(aux["node_overflow"]))
+                return sums, overflow
+
+            self._eval_steps[n_ent] = jax.jit(
+                eval_impl, static_argnames=("caps",)
+            )
+        return self._eval_steps[n_ent]
 
     # ------------------------------------------------------------------
     def _train_step_impl(self, params, opt_state, graph, subs, rels, objs,
@@ -152,105 +171,121 @@ class StaticTrainer:
         overflow = jnp.any(aux["edge_overflow"]) | jnp.any(aux["node_overflow"])
         return params, opt_state, loss, overflow, aux["num_edges"]
 
-    def _eval_step_impl(self, params, graph, subs, rels, labels, filters,
-                        qmask, caps: FrontierCaps):
-        scores, aux = self.model.apply(
-            {"params": params}, graph, subs, rels, qmask, caps, False,
-        )
-        sums = rank_metric_sums(scores, labels, filters)
-        overflow = jnp.any(aux["edge_overflow"]) | jnp.any(aux["node_overflow"])
-        return sums, overflow
-
     # ------------------------------------------------------------------
-    def _grow_caps_from_batch(self, caps: FrontierCaps, graph_np, subs,
-                              which: str) -> FrontierCaps:
-        """Recompute caps exactly for an overflowing batch (host-side)."""
-        from redgnn_tpu.graph.calibrate import simulate_hops, _round_up
-
-        rowptr, _, tail = graph_np
-        nc, ec = simulate_hops(rowptr, tail, self.kg.n_ent, subs,
-                               self.cfg.n_layer)
-        node_caps = list(caps.node_caps)
-        edge_caps = list(caps.edge_caps)
-        for i in range(self.cfg.n_layer):
-            node_caps[i + 1] = max(node_caps[i + 1],
-                                   _round_up(int(nc[i + 1] * 1.2) + 8))
-            edge_caps[i] = max(edge_caps[i], _round_up(int(ec[i] * 1.2) + 8))
-        return FrontierCaps(tuple(node_caps), tuple(edge_caps))
-
-    def train_epoch(self, epoch: int) -> float:
-        kg, cfg = self.kg, self.cfg
-        t0 = time.time()
-        data = kg.train_data
-        n = len(data)
-        total_loss = 0.0
-        b = cfg.n_batch
-        for start in range(0, n, b):
+    def _iter_batches(self, data: np.ndarray, b: int):
+        for start in range(0, len(data), b):
             batch = data[start:start + b]
             pad = b - len(batch)
             qmask = np.concatenate([np.ones(len(batch), bool),
                                     np.zeros(pad, bool)])
             if pad:
-                batch = np.concatenate([batch, np.zeros((pad, 3), np.int64)])
-            subs = jnp.asarray(batch[:, 0], jnp.int32)
-            rels = jnp.asarray(batch[:, 1], jnp.int32)
-            objs = jnp.asarray(batch[:, 2], jnp.int32)
-            qm = jnp.asarray(qmask)
+                batch = np.concatenate([batch, np.zeros((pad, batch.shape[1]),
+                                                        np.int64)])
+            yield batch, qmask
 
-            while True:
+    def _recalibrate_exact(self, caps: FrontierCaps, graph_np, data, b,
+                           n_ent=None) -> FrontierCaps:
+        """Grow caps to exactly cover every batch of this epoch (host CSR walk)."""
+        from redgnn_tpu.graph.calibrate import simulate_hops, _round_up
+
+        n_ent = n_ent or self.kg.n_ent
+        rowptr, _, tail = graph_np
+        node_caps = list(caps.node_caps)
+        edge_caps = list(caps.edge_caps)
+        for batch, qmask in self._iter_batches(data, b):
+            nc, ec = simulate_hops(rowptr, tail, n_ent,
+                                   batch[:, 0][qmask], self.cfg.n_layer)
+            for i in range(self.cfg.n_layer):
+                node_caps[i + 1] = max(node_caps[i + 1],
+                                       _round_up(nc[i + 1] + 8))
+                edge_caps[i] = max(edge_caps[i], _round_up(ec[i] + 8))
+        return FrontierCaps(tuple(node_caps), tuple(edge_caps))
+
+    def train_epoch(self, epoch: int) -> float:
+        """One pass over the (doubled) training triples.
+
+        Host-sync discipline for the TPU tunnel: the loop enqueues every
+        batch without fetching anything; losses and overflow flags are
+        device scalars collected asynchronously and materialized ONCE at
+        epoch end. If any frontier bucket overflowed, the whole epoch is
+        replayed from the epoch-start parameter snapshot with exactly
+        recalibrated capacities (rare; geometric-growth bound).
+        """
+        kg, cfg = self.kg, self.cfg
+        t0 = time.time()
+        data = kg.train_data
+        snap = (self.params, self.opt_state, self.rng)
+        for attempt in range(3):
+            losses, overflows = [], []
+            for batch, qmask in self._iter_batches(data, cfg.n_batch):
+                subs = jnp.asarray(batch[:, 0], jnp.int32)
+                rels = jnp.asarray(batch[:, 1], jnp.int32)
+                objs = jnp.asarray(batch[:, 2], jnp.int32)
+                qm = jnp.asarray(qmask)
                 self.rng, step_rng = jax.random.split(self.rng)
-                params, opt_state, loss, overflow, _ = self._train_step(
-                    self.params, self.opt_state, kg.graph, subs, rels, objs,
-                    qm, step_rng, self.train_caps,
+                self.params, self.opt_state, loss, overflow, _ = (
+                    self._train_step(self.params, self.opt_state, kg.graph,
+                                     subs, rels, objs, qm, step_rng,
+                                     self.train_caps)
                 )
-                if bool(overflow):
-                    # discard this step's update and re-run with grown caps
-                    self.train_caps = self._grow_caps_from_batch(
-                        self.train_caps, kg.graph_np, batch[:, 0][qmask],
-                        "train",
-                    )
-                    continue
-                self.params, self.opt_state = params, opt_state
+                losses.append(loss)
+                overflows.append(overflow)
+            overflow_seen = bool(np.any(jax.device_get(overflows)))
+            if not overflow_seen:
+                total_loss = float(np.sum(jax.device_get(losses)))
                 break
-            total_loss += float(loss)
+            # replay epoch from snapshot with exact capacities
+            self.params, self.opt_state, self.rng = snap
+            self.train_caps = self._recalibrate_exact(
+                self.train_caps, kg.graph_np, data, cfg.n_batch
+            )
+        else:
+            raise RuntimeError("frontier caps failed to stabilize")
         self.t_train += time.time() - t0
         return total_loss
 
     def evaluate(self, split: str) -> Dict[str, float]:
-        kg, cfg = self.kg, self.cfg
-        queries, answers = kg.eval_queries(split)
+        cfg = self.cfg
+        spec = self.kg.eval_spec(split)
         b = cfg.n_tbatch
-        partials = []
-        for start in range(0, len(queries), b):
-            q = queries[start:start + b]
-            a = answers[start:start + b]
-            pad = b - len(q)
-            qmask = np.concatenate([np.ones(len(q), bool), np.zeros(pad, bool)])
-            if pad:
-                q = np.concatenate([q, np.zeros((pad, 2), np.int64)])
-            labels = np.zeros((b, kg.n_ent), np.float32)
-            filters = np.zeros((b, kg.n_ent), np.float32)
-            for i, ans in enumerate(a):
-                labels[i, ans] = 1.0
-                filters[i, kg.filter_row(q[i, 0], q[i, 1])] = 1.0
-
-            while True:
-                sums, overflow = self._eval_step(
-                    self.params, kg.eval_graph,
+        eval_step = self._eval_step_for(spec.n_ent)
+        if split not in self.eval_caps:
+            rowptr, _, tail = spec.graph_np
+            heads = (spec.queries[:, 0] if len(spec.queries)
+                     else np.zeros(1, np.int64))
+            self.eval_caps[split] = calibrate_caps(
+                rowptr, tail, spec.n_ent, heads, b, cfg.n_layer,
+                headroom=cfg.cap_headroom,
+            )
+        queries, answers = spec.queries, spec.answers
+        ans_by_start = {s: answers[s:s + b] for s in range(0, len(queries), b)}
+        for attempt in range(3):
+            partials, overflows = [], []
+            start = 0
+            for q, qmask in self._iter_batches(queries, b):
+                a = ans_by_start[start]
+                start += b
+                labels = np.zeros((b, spec.n_ent), np.float32)
+                filters = np.zeros((b, spec.n_ent), np.float32)
+                for i, ans in enumerate(a):
+                    labels[i, ans] = 1.0
+                    filters[i, spec.filter_row(q[i, 0], q[i, 1])] = 1.0
+                sums, overflow = eval_step(
+                    self.params, spec.graph,
                     jnp.asarray(q[:, 0], jnp.int32),
                     jnp.asarray(q[:, 1], jnp.int32),
                     jnp.asarray(labels), jnp.asarray(filters),
-                    jnp.asarray(qmask), self.eval_caps,
+                    jnp.asarray(qmask), self.eval_caps[split],
                 )
-                if bool(overflow):
-                    self.eval_caps = self._grow_caps_from_batch(
-                        self.eval_caps, kg.eval_graph_np, q[:, 0][qmask],
-                        "eval",
-                    )
-                    continue
-                break
-            partials.append(jax.device_get(sums))
-        return combine_metric_sums(partials)
+                partials.append(sums)
+                overflows.append(overflow)
+            if not bool(np.any(jax.device_get(overflows))):
+                return combine_metric_sums(jax.device_get(partials))
+            self.eval_caps[split] = self._recalibrate_exact(
+                self.eval_caps[split], spec.graph_np, queries, b,
+                n_ent=spec.n_ent,
+            )
+        raise RuntimeError("eval frontier caps failed to stabilize")
 
     # ------------------------------------------------------------------
     def fit(self, epochs: Optional[int] = None, log=print,

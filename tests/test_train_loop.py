@@ -1,0 +1,64 @@
+"""End-to-end training smoke: the full driver learns on a tiny KG."""
+
+import numpy as np
+import pytest
+
+from redgnn_tpu.graph.kg import StaticKG
+from redgnn_tpu.train.loop import StaticTrainer
+from redgnn_tpu.utils.config import TrainConfig
+
+
+def write_kg(tmp_path, rng, n_ent=40, n_rel=4):
+    """A compositional KG: r2(x) = r0(r1(x)) so 2-hop reasoning helps."""
+    ents = [f"e{i}" for i in range(n_ent)]
+    rels = [f"r{i}" for i in range(n_rel)]
+    (tmp_path / "entities.txt").write_text("\n".join(ents) + "\n")
+    (tmp_path / "relations.txt").write_text("\n".join(rels) + "\n")
+
+    perm1 = rng.permutation(n_ent)
+    perm0 = rng.permutation(n_ent)
+    triples = []
+    for i in range(n_ent):
+        triples.append((f"e{i}", "r1", f"e{perm1[i]}"))
+        triples.append((f"e{perm1[i]}", "r0", f"e{perm0[perm1[i]]}"))
+        triples.append((f"e{i}", "r2", f"e{perm0[perm1[i]]}"))  # composition
+        triples.append((f"e{i}", "r3", f"e{rng.integers(n_ent)}"))  # noise
+    rng.shuffle(triples)
+    n = len(triples)
+    splits = {
+        "facts.txt": triples[: int(n * 0.6)],
+        "train.txt": triples[int(n * 0.6): int(n * 0.85)],
+        "valid.txt": triples[int(n * 0.85): int(n * 0.95)],
+        "test.txt": triples[int(n * 0.95):],
+    }
+    for fname, tri in splits.items():
+        (tmp_path / fname).write_text(
+            "\n".join(f"{h}\t{r}\t{t}" for h, r, t in tri) + "\n"
+        )
+    return tmp_path
+
+
+def test_training_learns(tmp_path, rng):
+    kg = StaticKG.load(str(write_kg(tmp_path, rng)))
+    cfg = TrainConfig(hidden_dim=16, attn_dim=5, n_layer=2, dropout=0.05,
+                      lr=0.01, lamb=1e-5, n_batch=16, n_tbatch=16, epochs=4)
+    trainer = StaticTrainer(kg, cfg)
+    losses, mrrs = [], []
+    for epoch in range(4):
+        losses.append(trainer.train_epoch(epoch))
+        mrrs.append(trainer.evaluate("valid")["mrr"])
+        trainer.kg.resplit(trainer._np_rng)
+    assert losses[-1] < losses[0] * 0.9, losses
+    # random MRR over 40 entities ~ 0.1; a learning model beats it easily
+    assert max(mrrs) > 0.2, mrrs
+
+
+def test_eval_metrics_shape(tmp_path, rng):
+    kg = StaticKG.load(str(write_kg(tmp_path, rng)))
+    cfg = TrainConfig(hidden_dim=16, attn_dim=5, n_layer=2, dropout=0.0,
+                      n_batch=16, n_tbatch=8)
+    trainer = StaticTrainer(kg, cfg)
+    m = trainer.evaluate("test")
+    for k in ("mrr", "h1", "h3", "h10"):
+        assert 0.0 <= m[k] <= 1.0
+    assert m["h1"] <= m["h3"] <= m["h10"]
