@@ -30,8 +30,9 @@ import jax
 import jax.numpy as jnp
 
 # Pinned first single-chip measurement (edges/s) — the denominator for
-# vs_baseline in later rounds. Updated when the baseline round lands.
-PINNED_BASELINE_EDGES_PER_S = 20.0e6
+# vs_baseline in later rounds. Measured 2026-08-17 on TPU v5e (round 1,
+# XLA segment path, per-step host batch staging).
+PINNED_BASELINE_EDGES_PER_S = 2.893e6
 
 DATA_DIR = "/root/reference/Static/transductive/data/family"
 

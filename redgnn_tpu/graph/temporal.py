@@ -1,0 +1,252 @@
+"""Temporal knowledge graphs: quadruples, vocabularies, time indexing.
+
+Capability parity with `Temporal/interpolation/{graph,dataset,util}.py` and
+the data layer of `Temporal/extrapolation/utils.py:19-240`:
+
+  * `Vocab` semantics (`interpolation/util.py:54-93`): `_PAD`/`_UNK`
+    specials first, entities/relations frequency-sorted, timestamps sorted
+    chronologically (`graph.py:32`, `build(sort_key='time')`);
+  * the `idd` self-loop relation appended per entity at a far-future dummy
+    timestamp (`graph.py:34-40`);
+  * the graph is a flat (N, 4) quadruple array over which the model does
+    per-hop incident-edge selection — here re-indexed into a head-sorted
+    CSR with (rel, tail, time) payloads and an original-row -> CSR-slot
+    permutation so per-example leave-one-out (`model_cuda_new_embdding.py:110`)
+    becomes an O(B) edge-mask instead of an O(N) `np.delete` graph copy;
+  * extrapolation-style id-based dirs (`entity2id.txt`/`relation2id.txt`,
+    4-or-5-column TSV) load directly, with optional inverse relations
+    (`extrapolation/utils.py:30-49`) and timestamp sorting (`:99-106`).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from redgnn_tpu.graph.kg import DeviceGraph
+
+
+class Vocab:
+    """Token vocabulary with `_PAD`/`_UNK` specials (`util.py:54-93`)."""
+
+    def __init__(self, specials=("_PAD", "_UNK")):
+        self.itos: List[str] = list(specials)
+        self.stoi: Dict[str, int] = {}
+        self._freq: Counter = Counter()
+        self._built = False
+
+    def update(self, tokens):
+        self._freq.update(tokens)
+
+    def build(self, sort_key: str = "freq"):
+        assert not self._built
+        if sort_key == "freq":
+            items = sorted(self._freq.items(), key=lambda kv: kv[1],
+                           reverse=True)
+        else:  # chronological / lexicographic by token
+            items = sorted(self._freq.items(), key=lambda kv: kv[0])
+        for tok, _ in items:
+            if tok not in self.itos[:2]:
+                self.itos.append(tok)
+        self.stoi = {t: i for i, t in enumerate(self.itos)}
+        self._built = True
+
+    def __len__(self):
+        return len(self.itos)
+
+    def __call__(self, tok: str) -> int:
+        return self.stoi.get(tok, self.stoi["_UNK"])
+
+
+@dataclass
+class TemporalKG:
+    """Temporal KG with a device CSR over all (h, r, t, tau) quadruples."""
+
+    n_ent: int
+    n_rel: int          # relation vocab size (incl. specials/idd for vocab dirs)
+    n_time: int
+    idd_rel: int        # self-loop relation id
+    graph_quads: np.ndarray      # (N, 4) incl. self-loop rows
+    n_facts: int                 # rows before self-loops (= train quads)
+    row_to_slot: np.ndarray      # original row -> CSR slot (for leave-one-out)
+    graph: DeviceGraph = None    # CSR: rowptr/rel/tail
+    etime: jnp.ndarray = None    # (n_edges,) time id per CSR slot
+    graph_np: tuple = None
+    splits: Dict[str, np.ndarray] = field(default_factory=dict)
+    entity_vocab: Optional[Vocab] = None
+    relation_vocab: Optional[Vocab] = None
+    time_vocab: Optional[Vocab] = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def load_vocab_dir(cls, data_dir: str) -> "TemporalKG":
+        """Name-based TSV dirs (`icews14_aug` style): vocab from train.txt
+        (`graph.py:14-32`), graph = train quads + idd self-loops."""
+
+        def read_lines(fname):
+            with open(os.path.join(data_dir, fname)) as f:
+                return [ln.split("\t") for ln in f.read().lower().splitlines()
+                        if ln.strip()]
+
+        train_rows = read_lines("train.txt")
+        heads = [r[0] for r in train_rows]
+        rels = [r[1] for r in train_rows]
+        tails = [r[2] for r in train_rows]
+        times = [r[3] for r in train_rows]
+
+        ent_v, rel_v, time_v = Vocab(), Vocab(), Vocab()
+        ent_v.update(heads + tails)
+        rel_v.update(rels + ["idd"])
+        dummy_time = "2020-01-01" if "wiki" not in data_dir else "2050"
+        time_v.update(times + [dummy_time])
+        ent_v.build()
+        rel_v.build()
+        time_v.build(sort_key="time")
+
+        def encode(rows):
+            return np.array(
+                [[ent_v(r[0]), rel_v(r[1]), ent_v(r[2]), time_v(r[3])]
+                 for r in rows], dtype=np.int64).reshape(-1, 4)
+
+        train = encode(train_rows)
+        uniq_ents = sorted({ent_v(e) for e in heads + tails})
+        idd_rel = rel_v("idd")
+        loops = np.stack([
+            np.array(uniq_ents),
+            np.full(len(uniq_ents), idd_rel),
+            np.array(uniq_ents),
+            np.full(len(uniq_ents), time_v(dummy_time)),
+        ], 1)
+        graph_quads = np.concatenate([train, loops], 0)
+
+        kg = cls(
+            n_ent=len(ent_v), n_rel=len(rel_v), n_time=len(time_v),
+            idd_rel=idd_rel, graph_quads=graph_quads, n_facts=len(train),
+            row_to_slot=None, entity_vocab=ent_v, relation_vocab=rel_v,
+            time_vocab=time_v,
+        )
+        kg.splits = {
+            "train": train,
+            "valid": encode(read_lines("valid.txt")),
+            "test": encode(read_lines("test.txt")),
+        }
+        kg._build_csr()
+        return kg
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def load_id_dir(cls, data_dir: str, add_inverse: bool = False,
+                    self_loops: bool = True,
+                    time_granularity: int = 1) -> "TemporalKG":
+        """Id-based dirs (`ICEWS14_TeMP`, `*_forecasting`): quadruples with
+        numeric ids, 4 or 5 columns (`extrapolation/utils.py:99-121`)."""
+
+        def read(fname):
+            rows = []
+            with open(os.path.join(data_dir, fname)) as f:
+                for ln in f:
+                    parts = ln.split()
+                    if len(parts) >= 4:
+                        rows.append([int(parts[0]), int(parts[1]),
+                                     int(parts[2]),
+                                     int(parts[3]) // time_granularity])
+            return np.array(rows, dtype=np.int64).reshape(-1, 4)
+
+        splits = {s: read(f"{s}.txt") for s in ("train", "valid", "test")}
+
+        def count_file(fname):
+            p = os.path.join(data_dir, fname)
+            if os.path.exists(p):
+                with open(p) as f:
+                    return sum(1 for ln in f if ln.strip())
+            return 0
+
+        n_ent = count_file("entity2id.txt") or int(
+            max(s[:, [0, 2]].max() for s in splits.values() if len(s)) + 1)
+        n_raw_rel = count_file("relation2id.txt") or int(
+            max(s[:, 1].max() for s in splits.values() if len(s)) + 1)
+
+        train = splits["train"]
+        if add_inverse:
+            inv = train[:, [2, 1, 0, 3]].copy()
+            inv[:, 1] += n_raw_rel
+            train_graph = np.concatenate([train, inv], 0)
+            n_rel_eff = 2 * n_raw_rel
+        else:
+            train_graph = train
+            n_rel_eff = n_raw_rel
+        idd_rel = n_rel_eff
+        parts = [train_graph]
+        if self_loops:
+            ents = np.arange(n_ent)
+            dummy_t = int(max(s[:, 3].max() for s in splits.values()
+                              if len(s)) + 1)
+            parts.append(np.stack([
+                ents, np.full(n_ent, idd_rel), ents,
+                np.full(n_ent, dummy_t)], 1))
+        graph_quads = np.concatenate(parts, 0)
+
+        kg = cls(
+            n_ent=n_ent, n_rel=idd_rel + 1, n_time=int(graph_quads[:, 3].max() + 1),
+            idd_rel=idd_rel, graph_quads=graph_quads,
+            n_facts=len(train_graph), row_to_slot=None,
+        )
+        kg.splits = splits
+        kg._build_csr()
+        return kg
+
+    # ------------------------------------------------------------------
+    def _build_csr(self):
+        """CSR sorted by (head, time).
+
+        Time-sorting each row makes any per-query time window a CONTIGUOUS
+        slice of the row, found with two binary searches on the composite
+        key head*(n_time+2)+time — the device-side replacement for the
+        reference's global `time_offset_list` slicing
+        (`Temporal/extrapolation/utils.py:99-108,692-699`), which only
+        works because its whole dataset is time-sorted (and thus needs a
+        per-batch scipy adjacency rebuild per forward). Self-loop rows sit
+        past every real timestamp, so windows exclude them naturally; the
+        expansion re-adds them via `extra_edge_slot`.
+        """
+        q = self.graph_quads
+        order = np.lexsort((q[:, 3], q[:, 0]))  # by head, then time
+        self.row_to_slot = np.empty(len(q), dtype=np.int32)
+        self.row_to_slot[order] = np.arange(len(q), dtype=np.int32)
+        sorted_q = q[order]
+        counts = np.bincount(q[:, 0], minlength=self.n_ent)
+        rowptr = np.zeros(self.n_ent + 1, dtype=np.int32)
+        np.cumsum(counts, out=rowptr[1:])
+        rel = sorted_q[:, 1].astype(np.int32)
+        tail = sorted_q[:, 2].astype(np.int32)
+        time = sorted_q[:, 3].astype(np.int32)
+
+        self.time_key_base = int(sorted_q[:, 3].max()) + 2
+        assert self.n_ent * self.time_key_base < 2**31, (
+            "composite (head, time) key overflows int32")
+        ekey = (sorted_q[:, 0] * self.time_key_base + sorted_q[:, 3]).astype(
+            np.int32)
+
+        # CSR slot of each entity's self-loop row (idd relation)
+        selfloop_slot = np.zeros(self.n_ent, dtype=np.int32)
+        loop_rows = np.nonzero(rel == self.idd_rel)[0]
+        selfloop_slot[tail[loop_rows]] = loop_rows
+
+        self.graph_np = (rowptr, rel, tail)
+        self.etime_np = time
+        self.ekey_np = ekey
+        self.selfloop_slot_np = selfloop_slot
+        self.graph = DeviceGraph(jnp.asarray(rowptr), jnp.asarray(rel),
+                                 jnp.asarray(tail))
+        self.etime = jnp.asarray(time)
+        self.ekey = jnp.asarray(ekey)
+        self.selfloop_slot = jnp.asarray(selfloop_slot)
+
+    def exclusion_slots(self, example_rows: np.ndarray) -> np.ndarray:
+        """CSR slots of the given original graph rows (leave-one-out)."""
+        return self.row_to_slot[example_rows]

@@ -1,0 +1,254 @@
+"""T-RED-GNN: time-aware relational digraph propagation (one XLA program).
+
+Covers both temporal workloads of the reference with one core:
+
+  * interpolation (`Temporal/interpolation/model_cuda_new_embdding.py`):
+    whole-timeline propagation, signed relative time Δ = τ_edge − τ_query,
+    direction-specific past/now/future transforms (`:160-163`), per-example
+    leave-one-out during training (`:110`) realized as an edge mask;
+  * extrapolation (`Temporal/extrapolation/model_cuda_new_embedding.py`):
+    per-query time window [τ_q − W, τ_q) (`:166-177`), Δ = τ_query − τ_edge,
+    single past transform (`:211`), and a scatter-softmax distribution over
+    the final frontier for segment ranking (`:248-257`).
+
+Shared math (both files):
+    msg_e  = h_src + R_i[rel] + PeriodicTimeEmbed(Δ)
+    t(msg) = direction-selected linear transform
+    α_e    = σ(A2_i · ReLU(A1_i · [h_src ‖ R_i[rel] ‖ R_i[q_rel]]))
+    h'_v   = act(Σ_{dst(e)=v} α_e · t(msg_e))      (+ dropout, interpolation)
+    score  = w·h + b over reached entities, 0 elsewhere.
+
+Unlike the static model there is no GRU gate and no W_h; relation
+embeddings are per-layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from redgnn_tpu.graph.calibrate import FrontierCaps
+from redgnn_tpu.graph.kg import DeviceGraph
+from redgnn_tpu.models.layers import _uniform_init
+from redgnn_tpu.ops.frontier import (
+    SENTINEL,
+    expand_frontier,
+    expand_frontier_ranges,
+)
+from redgnn_tpu.ops.segment import segment_softmax, segment_sum
+
+TEMPORAL_ACTS = {
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "idd": lambda x: x,
+    "softplus": jax.nn.softplus,
+    "leakyrelu": lambda x: jax.nn.leaky_relu(x, 0.01),
+}
+
+
+class PeriodicTimeEmbedding(nn.Module):
+    """rtdl-style PLR embedding of a scalar time offset.
+
+    Re-derivation of `PeriodicEmbeddings(1, d, n_frequencies=48, lite=False)`
+    (`Temporal/interpolation/rtdl_num_embeddings.py:126-215`):
+      z = 2π·c·x (learned frequencies c ~ N(0, σ), σ=0.01), features
+      [cos z ‖ sin z] -> per-feature linear -> ReLU.
+    """
+
+    d_embedding: int
+    n_frequencies: int = 48
+    sigma: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (E,) -> (E, d)
+        freq = self.param(
+            "frequencies",
+            lambda key, shape: self.sigma * jax.random.truncated_normal(
+                key, -3.0, 3.0, shape),
+            (self.n_frequencies,),
+        )
+        k2 = 2 * self.n_frequencies
+        w = self.param("w", _uniform_init(), (k2, self.d_embedding))
+        b = self.param("b", _uniform_init(), (self.d_embedding,))
+        z = 2.0 * jnp.pi * x[:, None] * freq[None, :]
+        feats = jnp.concatenate([jnp.cos(z), jnp.sin(z)], axis=-1)
+        return jax.nn.relu(feats @ w + b)
+
+
+@dataclass(frozen=True)
+class TemporalModelConfig:
+    n_ent: int
+    n_rel_vocab: int      # rows in the relation embedding tables
+    idd_rel: int          # self-loop relation id
+    hidden_dim: int = 20
+    attn_dim: int = 30
+    n_layer: int = 4
+    dropout: float = 0.1
+    act: str = "leakyrelu"
+    mode: str = "interpolation"   # or "extrapolation"
+    window: Optional[int] = None  # time units; extrapolation uses 120
+    time_key_base: Optional[int] = None  # composite (head,time) key stride
+    n_frequencies: int = 48
+    segment_impl: str = "xla"
+
+
+class TRedGNN(nn.Module):
+    cfg: TemporalModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: DeviceGraph,
+        etime: jnp.ndarray,           # (n_edges,) time per CSR slot
+        subs: jnp.ndarray,            # (B,)
+        rels: jnp.ndarray,            # (B,)
+        times: jnp.ndarray,           # (B,) query time ids
+        qmask: jnp.ndarray,           # (B,) bool
+        caps: FrontierCaps,
+        exclude_slots: Optional[jnp.ndarray] = None,  # (B,) CSR slots or None
+        train: bool = False,
+        ekey: Optional[jnp.ndarray] = None,          # (n_edges,) head*K+time
+        selfloop_slot: Optional[jnp.ndarray] = None,  # (n_ent,)
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        cfg = self.cfg
+        b = subs.shape[0]
+        d = cfg.hidden_dim
+
+        keys0 = subs.astype(jnp.int32) + jnp.arange(b, dtype=jnp.int32) * cfg.n_ent
+        node_keys = jnp.where(qmask, keys0, SENTINEL)
+        hidden = jnp.zeros((b, d))
+
+        time_embed = PeriodicTimeEmbedding(
+            d, cfg.n_frequencies, name="time_embed")
+        past = nn.Dense(d, use_bias=False, kernel_init=_uniform_init(),
+                        name="past_linear")
+        now = nn.Dense(d, use_bias=False, kernel_init=_uniform_init(),
+                       name="now_linear")
+        future = nn.Dense(d, use_bias=False, kernel_init=_uniform_init(),
+                          name="future_linear")
+
+        # leave-one-out edge mask: drop the batch's own training quadruples
+        # for ALL queries in the batch (np.delete semantics, `:110`)
+        if exclude_slots is not None:
+            def edge_mask_fn(edge_id, batch_e, rel_e):
+                hit = jnp.any(
+                    edge_id[:, None] == exclude_slots[None, :], axis=1
+                )
+                return ~hit
+        else:
+            edge_mask_fn = None
+
+        aux: Dict[str, Any] = {"edge_overflow": [], "node_overflow": [],
+                               "num_nodes": [], "num_edges": []}
+
+        windowed = cfg.mode == "extrapolation" and cfg.window is not None
+        for i in range(cfg.n_layer):
+            if windowed:
+                # time-windowed expansion: each frontier node's in-window
+                # edges are a contiguous CSR sub-row (rows sorted by
+                # (head, time)); the self-loop is re-added as an extra slot
+                valid_node = node_keys != SENTINEL
+                ent = jnp.where(valid_node, node_keys % cfg.n_ent, 0)
+                t_q = times[jnp.where(valid_node, node_keys // cfg.n_ent, 0)]
+                lo = jnp.maximum(t_q - cfg.window, 0)
+                base = ent * cfg.time_key_base
+                w_start = jnp.searchsorted(ekey, base + lo).astype(jnp.int32)
+                w_end = jnp.searchsorted(ekey, base + t_q).astype(jnp.int32)
+                deg = jnp.where(valid_node, w_end - w_start, 0)
+                fr = expand_frontier_ranges(
+                    graph.rel, graph.tail, cfg.n_ent, node_keys,
+                    w_start, deg,
+                    edge_cap=caps.edge_caps[i],
+                    node_cap=caps.node_caps[i + 1],
+                    extra_edge_slot=selfloop_slot[ent],
+                    edge_mask_fn=edge_mask_fn,
+                )
+            else:
+                fr = expand_frontier(
+                    graph.rowptr, graph.rel, graph.tail, cfg.n_ent, node_keys,
+                    edge_cap=caps.edge_caps[i],
+                    node_cap=caps.node_caps[i + 1],
+                    edge_mask_fn=edge_mask_fn,
+                )
+            rela = self.param(
+                f"rela_embed_{i}", nn.initializers.xavier_uniform(),
+                (cfg.n_rel_vocab, d),
+            )
+            a1 = nn.Dense(cfg.attn_dim, use_bias=False,
+                          kernel_init=_uniform_init(), name=f"attn1_{i}")
+            a2 = nn.Dense(1, use_bias=False, kernel_init=_uniform_init(),
+                          name=f"attn2_{i}")
+
+            hs = hidden[fr.src]
+            hr = rela[fr.rel]
+            h_qr = rela[rels][fr.batch]
+
+            t_e = etime[fr.edge_id].astype(jnp.float32)
+            t_q = times[fr.batch].astype(jnp.float32)
+            if cfg.mode == "interpolation":
+                delta = t_e - t_q
+            else:
+                # Δ = τ_q − τ_edge ≥ 0; self-loops sit at the window floor
+                # (`model_cuda_new_embedding.py:170`)
+                delta = t_q - t_e
+                if cfg.window is not None:
+                    floor_delta = jnp.minimum(t_q, float(cfg.window))
+                    delta = jnp.where(fr.rel == cfg.idd_rel, floor_delta,
+                                      delta)
+
+            msg = hs + hr + time_embed(delta)
+            if cfg.mode == "interpolation":
+                transformed = jnp.where(
+                    (delta > 0)[:, None], future(msg),
+                    jnp.where((delta < 0)[:, None], past(msg), now(msg)),
+                )
+            else:
+                transformed = past(msg)
+
+            alpha = jax.nn.sigmoid(
+                a2(jax.nn.relu(a1(jnp.concatenate([hs, hr, h_qr], -1))))
+            )
+            message = transformed * alpha
+            message = jnp.where(fr.edge_valid[:, None], message, 0.0)
+
+            agg = segment_sum(message, fr.dst, caps.node_caps[i + 1],
+                              indices_are_sorted=True,
+                              impl=cfg.segment_impl)
+            if cfg.mode == "interpolation":
+                agg = nn.Dropout(cfg.dropout, deterministic=not train)(agg)
+            hidden = TEMPORAL_ACTS[cfg.act](agg)
+            node_keys = fr.node_keys
+
+            aux["edge_overflow"].append(fr.edge_overflow)
+            aux["node_overflow"].append(fr.node_overflow)
+            aux["num_nodes"].append(fr.num_nodes)
+            aux["num_edges"].append(fr.num_edges)
+
+        classifier = nn.Dense(1, use_bias=True, kernel_init=_uniform_init(),
+                              bias_init=_uniform_init(), name="classifier")
+        scores = classifier(hidden)[:, 0]
+
+        valid = node_keys != SENTINEL
+        batch_idx = jnp.where(valid, node_keys // cfg.n_ent, b)
+        ent_idx = jnp.where(valid, node_keys % cfg.n_ent, 0)
+        scores_all = jnp.zeros((b, cfg.n_ent)).at[batch_idx, ent_idx].set(
+            jnp.where(valid, scores, 0.0), mode="drop"
+        )
+
+        if cfg.mode == "extrapolation":
+            # normalized per-query distribution over the final frontier
+            # (`model_cuda_new_embedding.py:248`), used by segment ranking
+            seg_scores = segment_softmax(
+                scores, jnp.minimum(batch_idx, b - 1), b, valid=valid
+            )
+            aux["frontier_softmax"] = seg_scores
+            aux["frontier_keys"] = node_keys
+
+        for k in ("edge_overflow", "node_overflow", "num_nodes", "num_edges"):
+            aux[k] = jnp.stack(aux[k])
+        return scores_all, aux

@@ -49,6 +49,7 @@ class Frontier(NamedTuple):
     dst: jnp.ndarray        # (edge_cap,) int32 — slot in node_keys (sorted asc)
     rel: jnp.ndarray        # (edge_cap,) int32 — relation id
     batch: jnp.ndarray      # (edge_cap,) int32 — query index within batch
+    edge_id: jnp.ndarray    # (edge_cap,) int32 — CSR slot of the fact edge
     edge_valid: jnp.ndarray  # (edge_cap,) bool
     num_edges: jnp.ndarray  # () int32 — true incident edge count (pre-clip)
     # --- overflow diagnostics ---
@@ -64,6 +65,7 @@ def expand_frontier(
     node_keys: jnp.ndarray,
     edge_cap: int,
     node_cap: int,
+    edge_mask_fn=None,
 ) -> Frontier:
     """Expand one hop: gather all edges whose head is in the frontier.
 
@@ -74,14 +76,58 @@ def expand_frontier(
       node_keys: (prev_cap,) int32 frontier keys, SENTINEL-padded.
       edge_cap: static capacity for the emitted edge list.
       node_cap: static capacity for the next frontier.
+      edge_mask_fn: optional traced fn (edge_id, batch, rel) -> bool keep
+        mask, applied BEFORE deduplication. This implements the temporal
+        variants' graph filtering without graph copies: per-example
+        leave-one-out (`Temporal/interpolation/model_cuda_new_embdding.py:110`
+        does np.delete over the whole KG) and per-query time windows
+        (`Temporal/extrapolation/model_cuda_new_embedding.py:166-177`).
+        Masked edges generate no frontier nodes, matching row-deletion
+        semantics exactly.
+    """
+    valid_node = node_keys != SENTINEL
+    ent = jnp.where(valid_node, node_keys % n_ent, 0)
+    row_start = rowptr[ent]
+    deg = jnp.where(valid_node, rowptr[ent + 1] - row_start, 0)
+    return expand_frontier_ranges(
+        erel, etail, n_ent, node_keys, row_start, deg, edge_cap, node_cap,
+        extra_edge_slot=None, edge_mask_fn=edge_mask_fn,
+    )
+
+
+def expand_frontier_ranges(
+    erel: jnp.ndarray,
+    etail: jnp.ndarray,
+    n_ent: int,
+    node_keys: jnp.ndarray,
+    row_start: jnp.ndarray,   # (prev_cap,) first CSR slot per frontier node
+    deg: jnp.ndarray,         # (prev_cap,) edges per frontier node (0 for pads)
+    edge_cap: int,
+    node_cap: int,
+    extra_edge_slot: jnp.ndarray | None = None,  # (prev_cap,) one extra edge
+    edge_mask_fn=None,
+) -> Frontier:
+    """Core expansion over per-node edge ranges.
+
+    ``row_start``/``deg`` describe a contiguous CSR sub-row per frontier
+    node — the full row for static graphs, or a time-windowed slice for
+    temporal extrapolation (rows sorted by (head, time) make any window a
+    contiguous range found by two binary searches; see
+    redgnn_tpu.graph.temporal.windowed_ranges). ``extra_edge_slot``
+    appends one extra out-of-range edge per node — the always-included
+    self-loop of the windowed temporal graph
+    (`Temporal/extrapolation/model_cuda_new_embedding.py:172-176`).
     """
     prev_cap = node_keys.shape[0]
     valid_node = node_keys != SENTINEL
     ent = jnp.where(valid_node, node_keys % n_ent, 0)
-    deg = jnp.where(valid_node, rowptr[ent + 1] - rowptr[ent], 0)
-    cum = jnp.cumsum(deg)
+    if extra_edge_slot is not None:
+        deg_eff = deg + valid_node.astype(deg.dtype)
+    else:
+        deg_eff = deg
+    cum = jnp.cumsum(deg_eff)
     total_edges = cum[-1]
-    start = cum - deg
+    start = cum - deg_eff
 
     e_idx = jnp.arange(edge_cap, dtype=jnp.int32)
     # Which frontier slot does output edge slot e belong to?
@@ -89,11 +135,20 @@ def expand_frontier(
     edge_valid = e_idx < total_edges
     src_c = jnp.minimum(src, prev_cap - 1)
     within = e_idx - start[src_c]
-    edge_id = rowptr[ent[src_c]] + within
+    if extra_edge_slot is not None:
+        edge_id = jnp.where(
+            within < deg[src_c],
+            row_start[src_c] + within,
+            extra_edge_slot[src_c],
+        )
+    else:
+        edge_id = row_start[src_c] + within
     edge_id = jnp.where(edge_valid, edge_id, 0)
     rel_e = erel[edge_id]
     tail_e = etail[edge_id]
     batch_e = node_keys[src_c] // n_ent
+    if edge_mask_fn is not None:
+        edge_valid = edge_valid & edge_mask_fn(edge_id, batch_e, rel_e)
     tail_key = jnp.where(edge_valid, batch_e * n_ent + tail_e, SENTINEL)
 
     # Deduplicate destination keys: sort + adjacent-compare. Stable sort keeps
@@ -123,6 +178,7 @@ def expand_frontier(
         dst=dst,
         rel=jnp.where(edge_valid_sorted, rel_e[order], 0),
         batch=jnp.where(edge_valid_sorted, batch_e[order], 0),
+        edge_id=jnp.where(edge_valid_sorted, edge_id[order], 0),
         edge_valid=edge_valid_sorted,
         num_edges=total_edges.astype(jnp.int32),
         edge_overflow=total_edges > edge_cap,

@@ -51,6 +51,70 @@ def filtered_rank_all(
     return jax.vmap(row)(asc, ascf, s, sf)
 
 
+def raw_rank_metric_sums(
+    scores: jnp.ndarray,   # (B, n_ent)
+    targets: jnp.ndarray,  # (B,) answer entity per query
+    qmask: jnp.ndarray,    # (B,) bool
+) -> dict:
+    """Unfiltered ranking over the dense score matrix (temporal
+    interpolation eval, `Temporal/interpolation/main.py:154-164`), with
+    average tie-breaking in place of the reference's arbitrary argsort
+    order (equal in expectation, deterministic here)."""
+    s_t = scores[jnp.arange(scores.shape[0]), targets]
+    gt = jnp.sum(scores > s_t[:, None], axis=1)
+    eq = jnp.sum(scores == s_t[:, None], axis=1)
+    ranks = gt + (eq + 1) / 2.0
+    m = qmask.astype(scores.dtype)
+    return {
+        "rr_sum": jnp.sum(m / jnp.maximum(ranks, 1e-9)),
+        "h1_sum": jnp.sum(m * (ranks <= 1.0)),
+        "h3_sum": jnp.sum(m * (ranks <= 3.0)),
+        "h10_sum": jnp.sum(m * (ranks <= 10.0)),
+        "count": jnp.sum(m),
+    }
+
+
+def frontier_rank_metric_sums(
+    prob: jnp.ndarray,      # (B, n_ent) frontier softmax scattered dense
+    visited: jnp.ndarray,   # (B, n_ent) bool — reached within L hops
+    targets: jnp.ndarray,   # (B,)
+    qmask: jnp.ndarray,     # (B,)
+    fil: jnp.ndarray,       # (B, n_ent) bool keep-mask ((s,p)-filtered)
+    fil_t: jnp.ndarray,     # (B, n_ent) bool keep-mask ((s,p,t)-filtered)
+) -> dict:
+    """Extrapolation's raw / filtered / time-filtered segment ranking
+    (`Temporal/extrapolation/segment.py:346-387`): rank the target among
+    the *visited* frontier entities only; unreached target => rank 1e9
+    (the MINERVA convention, `segment.py:342`); ties average as
+    ``count> + (count= - 1)/2 + 1``.
+    """
+    b = prob.shape[0]
+    rows = jnp.arange(b)
+    found = visited[rows, targets] & qmask
+    p_t = prob[rows, targets]
+
+    def ranks_under(keep):
+        live = visited & keep
+        gt = jnp.sum(jnp.where(live, prob > p_t[:, None], False), axis=1)
+        eq = jnp.sum(jnp.where(live, prob == p_t[:, None], False), axis=1)
+        r = gt + (eq - 1) / 2.0 + 1.0
+        return jnp.where(found, r, 1e9)
+
+    keep_all = jnp.ones_like(visited, dtype=bool)
+    out = {}
+    for name, keep in (("raw", keep_all), ("fil", fil), ("fil_t", fil_t)):
+        r = ranks_under(keep)
+        m = qmask.astype(prob.dtype)
+        out[f"{name}_rr_sum"] = jnp.sum(m / jnp.maximum(r, 1e-9))
+        out[f"{name}_h1_sum"] = jnp.sum(m * (r <= 1.0))
+        out[f"{name}_h3_sum"] = jnp.sum(m * (r <= 3.0))
+        out[f"{name}_h10_sum"] = jnp.sum(m * (r <= 10.0))
+        out[f"{name}_mr_sum"] = jnp.sum(m * jnp.minimum(r, 1e9))
+    out["count"] = jnp.sum(qmask.astype(prob.dtype))
+    out["found_sum"] = jnp.sum(found.astype(prob.dtype))
+    return out
+
+
 def rank_metric_sums(
     scores: jnp.ndarray,
     labels: jnp.ndarray,   # (B, n_ent) 1.0 at answer entities (0 on padded rows)

@@ -1,0 +1,385 @@
+"""Train/eval drivers for the temporal workloads.
+
+Capability parity:
+  * interpolation (`Temporal/interpolation/main.py:56-253`): shuffled
+    quadruple batches, per-example leave-one-out, softmax + NLL mean loss
+    (`:71-75`), AdamW + ReduceLROnPlateau on valid loss (`:212-213,243`),
+    NaN scrub (`:87-93`), raw hits@k / MRR eval (`:154-164`), best
+    checkpoint by valid hits@1 (`:247-249`);
+  * extrapolation (`Temporal/extrapolation/main.py:286-481`): windowed
+    propagation, NLL on dense scores (`:386-391`), raw / (s,p)-filtered /
+    (s,p,t)-filtered segment ranking over the final frontier
+    (`:404-411` -> `segment.py:346-387`).
+
+Same host-sync discipline as the static trainer: device scalars are
+collected per epoch and materialized once (the TPU tunnel's d2h latency
+makes per-batch fetches the dominant cost otherwise).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from redgnn_tpu.graph.calibrate import (
+    FrontierCaps,
+    _round_up,
+    calibrate_caps,
+    calibrate_caps_windowed,
+    simulate_hops,
+    simulate_hops_windowed,
+)
+from redgnn_tpu.graph.temporal import TemporalKG
+from redgnn_tpu.models.temporal import TemporalModelConfig, TRedGNN
+from redgnn_tpu.ops.ranking import (
+    frontier_rank_metric_sums,
+    raw_rank_metric_sums,
+)
+from redgnn_tpu.utils.config import TemporalTrainConfig
+
+
+def nll_softmax_loss(scores, targets, qmask):
+    """mean over batch of -log(softmax(s)[target] + 1e-12)
+    (`Temporal/interpolation/main.py:71-75`)."""
+    logp = jax.nn.log_softmax(scores, axis=1)
+    # replicate the +1e-12 smoothing inside the log
+    p = jnp.exp(logp[jnp.arange(scores.shape[0]), targets])
+    per_row = -jnp.log(p + 1e-12)
+    denom = jnp.maximum(jnp.sum(qmask), 1)
+    return jnp.sum(jnp.where(qmask, per_row, 0.0)) / denom
+
+
+def _nan_scrub(params, key):
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    out = [jnp.where(jnp.isnan(p), jax.random.uniform(k, (), p.dtype), p)
+           for p, k in zip(leaves, keys)]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+class TemporalTrainer:
+    def __init__(self, kg: TemporalKG, cfg: TemporalTrainConfig):
+        self.kg = kg
+        self.cfg = cfg
+        self.model_cfg = TemporalModelConfig(
+            n_ent=kg.n_ent,
+            n_rel_vocab=kg.n_rel + 1,
+            idd_rel=kg.idd_rel,
+            hidden_dim=cfg.hidden_dim, attn_dim=cfg.attn_dim,
+            n_layer=cfg.n_layer, dropout=cfg.dropout, act=cfg.act,
+            mode=cfg.mode, window=cfg.window,
+            time_key_base=kg.time_key_base,
+            n_frequencies=cfg.n_frequencies,
+            segment_impl=cfg.segment_impl,
+        )
+        self.model = TRedGNN(self.model_cfg)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        b = cfg.batch_size
+        dummy_caps = FrontierCaps((b,) + (16,) * cfg.n_layer,
+                                  (64,) * cfg.n_layer)
+        self.params = self.model.init(
+            {"params": init_rng, "dropout": init_rng},
+            kg.graph, kg.etime,
+            jnp.zeros(b, jnp.int32), jnp.zeros(b, jnp.int32),
+            jnp.zeros(b, jnp.int32), jnp.ones(b, bool), dummy_caps,
+            None, False, kg.ekey, kg.selfloop_slot,
+        )["params"]
+
+        def make_opt(learning_rate):
+            core = (optax.adamw(learning_rate,
+                                weight_decay=cfg.weight_decay)
+                    if cfg.optimizer == "adamw"
+                    else optax.adam(learning_rate))
+            if cfg.grad_clip is not None and np.isfinite(cfg.grad_clip):
+                return optax.chain(
+                    optax.clip_by_global_norm(cfg.grad_clip), core)
+            return core
+
+        # inject_hyperparams lets the plateau scheduler rewrite the lr in
+        # the optimizer state without resetting Adam moments
+        self.tx = optax.inject_hyperparams(make_opt)(learning_rate=cfg.lr)
+        self.opt_state = self.tx.init(self.params)
+
+        # ReduceLROnPlateau state (torch semantics: factor, patience)
+        self._lr = cfg.lr
+        self._plateau_best = np.inf
+        self._plateau_bad = 0
+
+        self.caps: Dict[str, FrontierCaps] = {}
+        self.t_train = 0.0
+        self._np_rng = np.random.default_rng(cfg.seed)
+        self.history: List[Dict[str, Any]] = []
+
+        self._train_step = jax.jit(self._train_step_impl,
+                                   static_argnames=("caps",))
+        self._eval_step = jax.jit(self._eval_step_impl,
+                                  static_argnames=("caps",))
+        if cfg.mode == "extrapolation":
+            self._eval_step_ex = jax.jit(self._eval_step_ex_impl,
+                                         static_argnames=("caps",))
+
+    # ------------------------------------------------------------------
+    def _apply(self, params, subs, rels, times, qmask, caps, exclude, train,
+               rng=None):
+        kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
+        return self.model.apply(
+            {"params": params}, self.kg.graph, self.kg.etime,
+            subs, rels, times, qmask, caps, exclude, train,
+            self.kg.ekey, self.kg.selfloop_slot, **kwargs,
+        )
+
+    def _train_step_impl(self, params, opt_state, subs, rels, objs, times,
+                         qmask, exclude, rng, caps: FrontierCaps):
+        drop_rng, scrub_rng = jax.random.split(rng)
+
+        def loss_fn(p):
+            scores, aux = self._apply(p, subs, rels, times, qmask, caps,
+                                      exclude, True, drop_rng)
+            return nll_softmax_loss(scores, objs, qmask), aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = _nan_scrub(params, scrub_rng)
+        overflow = jnp.any(aux["edge_overflow"]) | jnp.any(aux["node_overflow"])
+        return params, opt_state, loss, overflow
+
+    def _eval_step_impl(self, params, subs, rels, objs, times, qmask,
+                        caps: FrontierCaps):
+        scores, aux = self._apply(params, subs, rels, times, qmask, caps,
+                                  None, False)
+        sums = raw_rank_metric_sums(scores, objs, qmask)
+        sums["loss_sum"] = nll_softmax_loss(scores, objs, qmask) * jnp.sum(
+            qmask)
+        overflow = jnp.any(aux["edge_overflow"]) | jnp.any(aux["node_overflow"])
+        return sums, overflow
+
+    def _eval_step_ex_impl(self, params, subs, rels, objs, times, qmask,
+                           fil, fil_t, caps: FrontierCaps):
+        scores, aux = self._apply(params, subs, rels, times, qmask, caps,
+                                  None, False)
+        b = subs.shape[0]
+        keys = aux["frontier_keys"]
+        from redgnn_tpu.ops.frontier import SENTINEL
+
+        valid = keys != SENTINEL
+        bidx = jnp.where(valid, keys // self.model_cfg.n_ent, b)
+        eidx = jnp.where(valid, keys % self.model_cfg.n_ent, 0)
+        prob = jnp.zeros((b, self.model_cfg.n_ent)).at[bidx, eidx].set(
+            jnp.where(valid, aux["frontier_softmax"], 0.0), mode="drop")
+        visited = jnp.zeros((b, self.model_cfg.n_ent), bool).at[
+            bidx, eidx].set(valid, mode="drop")
+        sums = frontier_rank_metric_sums(prob, visited, objs, qmask, fil,
+                                         fil_t)
+        sums["loss_sum"] = nll_softmax_loss(scores, objs, qmask) * jnp.sum(
+            qmask)
+        overflow = jnp.any(aux["edge_overflow"]) | jnp.any(aux["node_overflow"])
+        return sums, overflow
+
+    # ------------------------------------------------------------------
+    def _get_caps(self, split: str, data: np.ndarray, b: int) -> FrontierCaps:
+        if split not in self.caps:
+            cfg, kg = self.cfg, self.kg
+            if cfg.mode == "extrapolation" and cfg.window is not None:
+                self.caps[split] = calibrate_caps_windowed(
+                    kg.ekey_np, kg.graph_np[2], kg.n_ent, kg.time_key_base,
+                    data[:, 0], data[:, 3], cfg.window, b, cfg.n_layer,
+                    headroom=cfg.cap_headroom,
+                )
+            else:
+                self.caps[split] = calibrate_caps(
+                    kg.graph_np[0], kg.graph_np[2], kg.n_ent, data[:, 0],
+                    b, cfg.n_layer, headroom=cfg.cap_headroom,
+                )
+        return self.caps[split]
+
+    def _recalibrate_exact(self, split: str, data: np.ndarray, b: int):
+        cfg, kg = self.cfg, self.kg
+        caps = self.caps[split]
+        node_caps = list(caps.node_caps)
+        edge_caps = list(caps.edge_caps)
+        for start in range(0, len(data), b):
+            batch = data[start:start + b]
+            if cfg.mode == "extrapolation" and cfg.window is not None:
+                nc, ec = simulate_hops_windowed(
+                    kg.ekey_np, kg.graph_np[2], kg.n_ent, kg.time_key_base,
+                    batch[:, 0], batch[:, 3], cfg.window, cfg.n_layer)
+            else:
+                nc, ec = simulate_hops(kg.graph_np[0], kg.graph_np[2],
+                                       kg.n_ent, batch[:, 0], cfg.n_layer)
+            for i in range(cfg.n_layer):
+                node_caps[i + 1] = max(node_caps[i + 1], _round_up(nc[i + 1] + 8))
+                edge_caps[i] = max(edge_caps[i], _round_up(ec[i] + 8))
+        self.caps[split] = FrontierCaps(tuple(node_caps), tuple(edge_caps))
+
+    def _batches(self, data: np.ndarray, b: int, rows: Optional[np.ndarray]):
+        """Yield (batch, qmask, row_ids) padded to b."""
+        for start in range(0, len(data), b):
+            batch = data[start:start + b]
+            rid = rows[start:start + b] if rows is not None else None
+            pad = b - len(batch)
+            qmask = np.concatenate([np.ones(len(batch), bool),
+                                    np.zeros(pad, bool)])
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad, batch.shape[1]), np.int64)])
+                if rid is not None:
+                    rid = np.concatenate([rid, np.full(pad, rid[-1] if len(rid)
+                                                       else 0)])
+            yield batch, qmask, rid
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> float:
+        cfg, kg = self.cfg, self.kg
+        t0 = time.time()
+        train = kg.splits["train"]
+        order = self._np_rng.permutation(len(train))
+        data = train[order]
+        # graph row = train-file row for interpolation-style graphs
+        rows = kg.exclusion_slots(order) if cfg.mode == "interpolation" \
+            else None
+        caps = self._get_caps("train", data, cfg.batch_size)
+        snap = (self.params, self.opt_state, self.rng)
+        for attempt in range(3):
+            losses, overflows = [], []
+            for batch, qmask, rid in self._batches(data, cfg.batch_size, rows):
+                exclude = (jnp.asarray(rid, jnp.int32)
+                           if rid is not None else None)
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.params, self.opt_state, loss, overflow = (
+                    self._train_step(
+                        self.params, self.opt_state,
+                        jnp.asarray(batch[:, 0], jnp.int32),
+                        jnp.asarray(batch[:, 1], jnp.int32),
+                        jnp.asarray(batch[:, 2], jnp.int32),
+                        jnp.asarray(batch[:, 3], jnp.int32),
+                        jnp.asarray(qmask), exclude, step_rng, caps,
+                    )
+                )
+                losses.append(loss)
+                overflows.append(overflow)
+            if not bool(np.any(jax.device_get(overflows))):
+                total = float(np.sum(jax.device_get(losses)))
+                break
+            self.params, self.opt_state, self.rng = snap
+            self._recalibrate_exact("train", data, cfg.batch_size)
+            caps = self.caps["train"]
+        else:
+            raise RuntimeError("temporal train caps failed to stabilize")
+        self.t_train += time.time() - t0
+        return total
+
+    def evaluate(self, split: str) -> Dict[str, float]:
+        cfg, kg = self.cfg, self.kg
+        data = kg.splits[split]
+        b = cfg.eval_batch_size
+        caps = self._get_caps(f"eval_{split}", data, b)
+        if cfg.mode == "extrapolation":
+            sp2o, spt2o = self._filters()
+        for attempt in range(3):
+            partials, overflows = [], []
+            for batch, qmask, _ in self._batches(data, b, None):
+                args = [
+                    self.params,
+                    jnp.asarray(batch[:, 0], jnp.int32),
+                    jnp.asarray(batch[:, 1], jnp.int32),
+                    jnp.asarray(batch[:, 2], jnp.int32),
+                    jnp.asarray(batch[:, 3], jnp.int32),
+                    jnp.asarray(qmask),
+                ]
+                if cfg.mode == "extrapolation":
+                    fil = np.ones((b, kg.n_ent), bool)
+                    fil_t = np.ones((b, kg.n_ent), bool)
+                    for i in range(len(batch)):
+                        if not qmask[i]:
+                            continue
+                        s, p, o, t = batch[i]
+                        known = sp2o.get((s, p), ())
+                        fil[i, [e for e in known if e != o]] = False
+                        known_t = spt2o.get((s, p, t), ())
+                        fil_t[i, [e for e in known_t if e != o]] = False
+                    sums, overflow = self._eval_step_ex(
+                        *args, jnp.asarray(fil), jnp.asarray(fil_t), caps)
+                else:
+                    sums, overflow = self._eval_step(*args, caps)
+                partials.append(sums)
+                overflows.append(overflow)
+            if not bool(np.any(jax.device_get(overflows))):
+                return self._combine(jax.device_get(partials))
+            self._recalibrate_exact(f"eval_{split}", data, b)
+            caps = self.caps[f"eval_{split}"]
+        raise RuntimeError("temporal eval caps failed to stabilize")
+
+    def _combine(self, partials) -> Dict[str, float]:
+        tot = defaultdict(float)
+        for p in partials:
+            for k, v in p.items():
+                tot[k] += float(v)
+        n = max(tot["count"], 1.0)
+        out = {"n": tot["count"], "loss": tot["loss_sum"] / n}
+        prefixes = [""] if "rr_sum" in tot else ["raw_", "fil_", "fil_t_"]
+        for pre in prefixes:
+            key = lambda s: f"{pre}{s}" if pre else s
+            out[key("mrr")] = tot[key("rr_sum")] / n
+            out[key("h1")] = tot[key("h1_sum")] / n
+            out[key("h3")] = tot[key("h3_sum")] / n
+            out[key("h10")] = tot[key("h10_sum")] / n
+        if "found_sum" in tot:
+            out["found_rate"] = tot["found_sum"] / n
+        # convenience aliases for the extrapolation naming
+        if "raw_mrr" in out:
+            out["mrr"], out["h1"], out["h3"], out["h10"] = (
+                out["fil_mrr"], out["fil_h1"], out["fil_h3"], out["fil_h10"])
+        return out
+
+    def _filters(self):
+        if not hasattr(self, "_sp2o"):
+            sp2o: Dict[tuple, set] = defaultdict(set)
+            spt2o: Dict[tuple, set] = defaultdict(set)
+            for split in ("train", "valid", "test"):
+                for s, p, o, t in self.kg.splits[split]:
+                    sp2o[(s, p)].add(o)
+                    spt2o[(s, p, t)].add(o)
+            self._sp2o = {k: np.array(sorted(v)) for k, v in sp2o.items()}
+            self._spt2o = {k: np.array(sorted(v)) for k, v in spt2o.items()}
+        return self._sp2o, self._spt2o
+
+    # ------------------------------------------------------------------
+    def plateau_step(self, valid_loss: float) -> None:
+        """torch ReduceLROnPlateau(mode=min) semantics."""
+        if valid_loss < self._plateau_best - 1e-8:
+            self._plateau_best = valid_loss
+            self._plateau_bad = 0
+            return
+        self._plateau_bad += 1
+        if self._plateau_bad > self.cfg.patience:
+            self._lr *= self.cfg.plateau_factor
+            self._plateau_bad = 0
+            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                self._lr)
+
+    def fit(self, epochs: Optional[int] = None, log=print) -> Dict[str, Any]:
+        epochs = epochs or self.cfg.epochs
+        best: Dict[str, Any] = {"valid_h1": -1.0}
+        for epoch in range(epochs):
+            loss = self.train_epoch(epoch)
+            vm = self.evaluate("valid")
+            self.plateau_step(vm["loss"])
+            row = {"epoch": epoch, "loss": loss, "lr": self._lr,
+                   **{f"valid_{k}": v for k, v in vm.items()}}
+            if vm["h1"] > best["valid_h1"]:
+                tm = self.evaluate("test")
+                row.update({f"test_{k}": v for k, v in tm.items()})
+                best = dict(row, valid_h1=vm["h1"])
+            self.history.append(row)
+            log(f"epoch {epoch} loss {loss:.3f} valid MRR {vm['mrr']:.4f} "
+                f"H@1 {vm['h1']:.4f} H@10 {vm['h10']:.4f} lr {self._lr:.2e}")
+        return best

@@ -95,9 +95,69 @@ _STATIC_INDUC = {
                            dropout=0.1472, act="tanh", n_batch=20, n_tbatch=50),
 }
 
+@dataclass(frozen=True)
+class TemporalTrainConfig:
+    # model (`Temporal/interpolation/main.py:40-52`;
+    #  `Temporal/extrapolation/main.py:147-152`)
+    hidden_dim: int = 20
+    attn_dim: int = 30
+    n_layer: int = 4
+    dropout: float = 0.1
+    act: str = "leakyrelu"
+    mode: str = "interpolation"
+    window: Optional[int] = None       # granularity units (extrapolation: 120)
+    time_granularity: int = 1
+    n_frequencies: int = 48
+    # optimization
+    lr: float = 1e-2
+    weight_decay: float = 1e-2         # AdamW, decoupled
+    optimizer: str = "adamw"           # icews05-15 uses plain Adam
+    patience: int = 3                  # ReduceLROnPlateau on valid loss
+    plateau_factor: float = 0.1
+    grad_clip: Optional[float] = None
+    batch_size: int = 32
+    eval_batch_size: int = 32
+    epochs: int = 50
+    seed: int = 1234
+    # TPU-specific
+    segment_impl: str = "xla"
+    cap_headroom: float = 1.2
+
+
+_TEMPORAL = {
+    # `Temporal/interpolation/main.py:40-52`
+    "icews14_aug": TemporalTrainConfig(
+        batch_size=32, lr=1e-2, patience=3, epochs=50, weight_decay=1e-2,
+        hidden_dim=20, attn_dim=30, n_layer=4, dropout=0.1, act="leakyrelu",
+    ),
+    # `Temporal/interpolation/main_icews05-15.py`
+    "icews05-15_aug": TemporalTrainConfig(
+        batch_size=4, lr=1e-2, patience=3, epochs=50, weight_decay=1e-2,
+        hidden_dim=20, attn_dim=30, n_layer=4, dropout=0.1, act="sigmoid",
+        optimizer="adam",
+    ),
+    # `Temporal/interpolation/main_wikidata11k.py`
+    "wikidata11k_aug": TemporalTrainConfig(
+        batch_size=20, lr=1e-2, patience=3, epochs=50, weight_decay=1e-2,
+        hidden_dim=20, attn_dim=30, n_layer=4, dropout=0.1, act="leakyrelu",
+    ),
+    # `Temporal/extrapolation/main.py:111-155,202-209`
+    "ICEWS14_forecasting": TemporalTrainConfig(
+        mode="extrapolation", window=120, time_granularity=24,
+        batch_size=128, lr=1e-3, epochs=20, hidden_dim=30, attn_dim=30,
+        n_layer=3, dropout=0.1, act="leakyrelu", patience=3,
+    ),
+    "YAGO_forecasting": TemporalTrainConfig(
+        mode="extrapolation", window=120, time_granularity=1,
+        batch_size=128, lr=1e-3, epochs=20, hidden_dim=30, attn_dim=30,
+        n_layer=3, dropout=0.1, act="leakyrelu", patience=3,
+    ),
+}
+
 DATASET_CONFIGS = {
     "static_transductive": _STATIC_TRANS,
     "static_inductive": _STATIC_INDUC,
+    "temporal": _TEMPORAL,
 }
 
 
