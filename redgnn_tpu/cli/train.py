@@ -1,0 +1,132 @@
+"""Unified training CLI for all four workloads.
+
+Replaces the reference's four separate drivers
+(`Static/transductive/train.py`, `Static/inductive/train.py`,
+`Temporal/interpolation/main*.py`, `Temporal/extrapolation/main.py`):
+
+    python -m redgnn_tpu.cli.train --task transductive \
+        --data_path /root/reference/Static/transductive/data/umls
+    python -m redgnn_tpu.cli.train --task inductive \
+        --data_path /root/reference/Static/inductive/data/fb237_v1
+    python -m redgnn_tpu.cli.train --task interpolation --data_path <dir>
+    python -m redgnn_tpu.cli.train --task extrapolation \
+        --data_path /root/reference/Temporal/extrapolation/data/ICEWS14_forecasting
+
+Per-dataset tuned hyperparameters load from the config registry
+(`redgnn_tpu.utils.config`); any field can be overridden with
+``--set field=value``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def parse_overrides(pairs, cfg):
+    for pair in pairs or []:
+        key, _, raw = pair.partition("=")
+        if not hasattr(cfg, key):
+            raise SystemExit(f"unknown config field: {key}")
+        cur = getattr(cfg, key)
+        if isinstance(cur, bool):
+            val = raw.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            val = int(raw)
+        elif isinstance(cur, float):
+            val = float(raw)
+        else:
+            val = raw
+        cfg = dataclasses.replace(cfg, **{key: val})
+    return cfg
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="redgnn_tpu trainer")
+    p.add_argument("--task", required=True,
+                   choices=["transductive", "inductive", "interpolation",
+                            "extrapolation"])
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--results_dir", default="results")
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--load_checkpoint", default=None)
+    p.add_argument("--eval_only", action="store_true")
+    p.add_argument("--sqlite", default=None,
+                   help="path to a sqlite experiment db")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--set", nargs="*", metavar="FIELD=VALUE",
+                   help="override any config field")
+    args = p.parse_args(argv)
+
+    from redgnn_tpu.utils.config import dataset_config
+    from redgnn_tpu.utils.reporting import ExperimentLogger
+    from redgnn_tpu.utils.memory import PeakRSSMonitor, write_memory_report
+
+    dataset = os.path.basename(args.data_path.rstrip("/"))
+
+    if args.task in ("transductive", "inductive"):
+        from redgnn_tpu.train.loop import StaticTrainer
+
+        task_key = ("static_transductive" if args.task == "transductive"
+                    else "static_inductive")
+        cfg = dataset_config(task_key, dataset)
+        if args.seed is not None:
+            cfg = dataclasses.replace(cfg, seed=args.seed)
+        cfg = parse_overrides(args.set, cfg)
+        if args.task == "transductive":
+            from redgnn_tpu.graph.kg import StaticKG
+
+            kg = StaticKG.load(args.data_path)
+        else:
+            from redgnn_tpu.graph.inductive import InductiveKG
+
+            kg = InductiveKG.load(args.data_path)
+        trainer = StaticTrainer(kg, cfg)
+    else:
+        from redgnn_tpu.graph.temporal import TemporalKG
+        from redgnn_tpu.train.temporal_loop import TemporalTrainer
+
+        cfg = dataset_config("temporal", dataset)
+        if args.task == "extrapolation" and cfg.mode != "extrapolation":
+            cfg = dataclasses.replace(cfg, mode="extrapolation", window=120)
+        if args.seed is not None:
+            cfg = dataclasses.replace(cfg, seed=args.seed)
+        cfg = parse_overrides(args.set, cfg)
+        id_based = os.path.exists(
+            os.path.join(args.data_path, "entity2id.txt"))
+        if id_based:
+            kg = TemporalKG.load_id_dir(
+                args.data_path, time_granularity=cfg.time_granularity)
+        else:
+            kg = TemporalKG.load_vocab_dir(args.data_path)
+        trainer = TemporalTrainer(kg, cfg)
+
+    logger = ExperimentLogger(args.results_dir, dataset, cfg,
+                              sqlite_path=args.sqlite)
+    print(json.dumps(dataclasses.asdict(cfg)))
+
+    if args.load_checkpoint:
+        epoch = trainer.restore(args.load_checkpoint)
+        print(f"restored checkpoint from epoch {epoch}")
+
+    if args.eval_only:
+        vm = trainer.evaluate("valid")
+        tm = trainer.evaluate("test")
+        print(json.dumps({"valid": vm, "test": tm}))
+        return
+
+    with PeakRSSMonitor() as mon:
+        best = trainer.fit(epochs=args.epochs, logger=logger,
+                           ckpt_dir=args.ckpt_dir)
+    print(write_memory_report(logger.mem_path, "run", mon.peak_rss_bytes))
+    logger.write_perf("BEST " + json.dumps(best))
+    print("BEST", json.dumps(best))
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -95,6 +95,12 @@ class TemporalModelConfig:
     time_key_base: Optional[int] = None  # composite (head,time) key stride
     n_frequencies: int = 48
     segment_impl: str = "xla"
+    # ablations (`Temporal/interpolation/model_cuda_aba.py:14,189,353`)
+    use_time: bool = True               # False => T_RED_GNN_wo_tau
+    use_attention: bool = True          # False => T_RED_GNN_wo_Attn
+    direction_transform: str = "linear"  # "bias" => T_RED_GNN_W
+    time_embedding: str = "periodic"     # "absolute" => nn.Embedding-style
+    n_time: Optional[int] = None         # rows for absolute time table
 
 
 class TRedGNN(nn.Module):
@@ -123,14 +129,29 @@ class TRedGNN(nn.Module):
         node_keys = jnp.where(qmask, keys0, SENTINEL)
         hidden = jnp.zeros((b, d))
 
-        time_embed = PeriodicTimeEmbedding(
-            d, cfg.n_frequencies, name="time_embed")
-        past = nn.Dense(d, use_bias=False, kernel_init=_uniform_init(),
-                        name="past_linear")
-        now = nn.Dense(d, use_bias=False, kernel_init=_uniform_init(),
-                       name="now_linear")
-        future = nn.Dense(d, use_bias=False, kernel_init=_uniform_init(),
-                          name="future_linear")
+        if cfg.time_embedding == "periodic":
+            time_embed = PeriodicTimeEmbedding(
+                d, cfg.n_frequencies, name="time_embed")
+        else:
+            # absolute per-timestamp table (`model_cuda_aba.py`, the
+            # T_RED_GNN_W variant and `model_cuda.py:44,152`)
+            abs_table = self.param(
+                "time_embed_abs", nn.initializers.xavier_uniform(),
+                (cfg.n_time or 1, d))
+        if cfg.direction_transform == "linear":
+            past = nn.Dense(d, use_bias=False, kernel_init=_uniform_init(),
+                            name="past_linear")
+            now = nn.Dense(d, use_bias=False, kernel_init=_uniform_init(),
+                           name="now_linear")
+            future = nn.Dense(d, use_bias=False, kernel_init=_uniform_init(),
+                              name="future_linear")
+        else:  # learned additive biases (T_RED_GNN_W)
+            past_b = self.param("past_bias", nn.initializers.zeros, (d,))
+            now_b = self.param("now_bias", nn.initializers.zeros, (d,))
+            future_b = self.param("future_bias", nn.initializers.zeros, (d,))
+            past = lambda x: x + past_b
+            now = lambda x: x + now_b
+            future = lambda x: x + future_b
 
         # leave-one-out edge mask: drop the batch's own training quadruples
         # for ALL queries in the batch (np.delete semantics, `:110`)
@@ -201,7 +222,14 @@ class TRedGNN(nn.Module):
                     delta = jnp.where(fr.rel == cfg.idd_rel, floor_delta,
                                       delta)
 
-            msg = hs + hr + time_embed(delta)
+            msg = hs + hr
+            if cfg.use_time:
+                if cfg.time_embedding == "periodic":
+                    msg = msg + time_embed(delta)
+                else:
+                    t_idx = jnp.clip(etime[fr.edge_id], 0,
+                                     (cfg.n_time or 1) - 1)
+                    msg = msg + abs_table[t_idx]
             if cfg.mode == "interpolation":
                 transformed = jnp.where(
                     (delta > 0)[:, None], future(msg),
@@ -210,10 +238,13 @@ class TRedGNN(nn.Module):
             else:
                 transformed = past(msg)
 
-            alpha = jax.nn.sigmoid(
-                a2(jax.nn.relu(a1(jnp.concatenate([hs, hr, h_qr], -1))))
-            )
-            message = transformed * alpha
+            if cfg.use_attention:
+                alpha = jax.nn.sigmoid(
+                    a2(jax.nn.relu(a1(jnp.concatenate([hs, hr, h_qr], -1))))
+                )
+                message = transformed * alpha
+            else:
+                message = transformed
             message = jnp.where(fr.edge_valid[:, None], message, 0.0)
 
             agg = segment_sum(message, fr.dst, caps.node_caps[i + 1],

@@ -1,0 +1,422 @@
+"""xERTE: subgraph-sampling attention flow for temporal KG forecasting.
+
+TPU-native re-design of the reference baseline
+(`Temporal/extrapolation/model.py:18-806`): the reference grows a python
+dict of visited (query, entity, time) nodes, samples neighbors on the CPU
+per step (`NeighborFinder`, `utils.py:243-531`), and prunes with ragged
+per-query topk. Here every DP step works on fixed-capacity padded arrays:
+
+  * node identity is a composite int32 key ``b * (n_ent * T) + ent * T + ts``
+    over a compact time index, deduplicated with the same sort machinery
+    as the frontier op;
+  * neighbor sampling draws K edges per attended node directly from the
+    (head, time)-sorted CSR (strategies: 'uniform', 'last', and
+    recency-'weighted' via exponential offsets — the TGAN-scheme sampler
+    of `utils.py:402-499`);
+  * transition scores are the G3 bilinear form over
+    (node_i ‖ rel ‖ q_src ‖ q_rel) x (node_j ‖ rel ‖ q_src ‖ q_rel)
+    (`model.py:67-97,203-224`), segment-softmaxed over source nodes;
+  * pruning keeps the top ``max_attended_edges`` per query with a static
+    top-k mask (`ops.segment.segment_topk_mask` replaces the python loop
+    at `model.py:128-168`);
+  * node scores aggregate (sum/mean/max) and L1-normalize per query
+    (`model.py:246-272,478`), representations propagate along all
+    retained edge lists with the identical/self passthrough
+    (`model.py:319-343`), and each step applies the dimension-shrinking
+    linear+LeakyReLU bypass (`model.py:113-116,345-346`).
+
+Loss is BCE on the per-entity attention mass vs the one-hot answer with
+the reference's (0.999x + 0.0009) squash (`model.py:545-570`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from redgnn_tpu.ops.segment import (
+    segment_normalize_l1,
+    segment_softmax,
+    segment_sum,
+    segment_topk_mask,
+)
+
+INVALID = jnp.iinfo(jnp.int32).max
+
+
+@dataclass(frozen=True)
+class XErteConfig:
+    n_ent: int
+    n_rel: int              # true relations (selfloop id == n_rel)
+    n_time: int             # compact time index size
+    emb_dim: Tuple[int, ...] = (256, 128, 64, 32)  # len == DP_steps + 1
+    dp_steps: int = 3
+    dp_num_edges: int = 15          # K sampled neighbors per node
+    max_attended_edges: int = 40
+    node_score_aggregation: str = "sum"   # sum | mean | max
+    ent_score_aggregation: str = "sum"
+    ratio_update: float = 0.0
+    sampling: str = "weighted"      # uniform | last | weighted
+    weight_factor: float = 2.0
+    use_time_embedding: bool = True
+
+    @property
+    def node_key_base(self) -> int:
+        return self.n_ent * self.n_time
+
+    def visited_cap(self, step: int, batch: int) -> int:
+        """Static visited-node capacity entering step ``step``."""
+        per_step = batch * self.max_attended_edges
+        return batch + per_step * step
+
+    def edge_cap(self, batch: int) -> int:
+        # attended nodes are bounded by pruned edges of the previous step
+        return batch * self.max_attended_edges * (self.dp_num_edges + 1)
+
+
+class TimeEncode(nn.Module):
+    """Bochner time embedding: cos(t * w + phi), w init 1/10^linspace(0,9)
+    (`model.py:18-65`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, ts: jnp.ndarray) -> jnp.ndarray:
+        freq = self.param(
+            "basis_freq",
+            lambda key, shape: jnp.asarray(
+                1.0 / 10 ** np.linspace(0, 9, shape[0]), jnp.float32),
+            (self.dim,),
+        )
+        phase = self.param("phase", nn.initializers.zeros, (self.dim,))
+        return jnp.cos(ts[:, None] * freq[None, :] + phase[None, :])
+
+
+class G3(nn.Module):
+    """Bilinear transition score: sum(Wq x_left * Wk x_right)
+    (`model.py:67-97`)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+        init = nn.initializers.normal(np.sqrt(2.0 / left.shape[-1]))
+        q = nn.Dense(self.dim_out, use_bias=False, kernel_init=init,
+                     name="query_proj")
+        k = nn.Dense(self.dim_out, use_bias=False, kernel_init=init,
+                     name="key_proj")
+        return jnp.sum(q(left) * k(right), axis=-1)
+
+
+def _dedup_keys(keys: jnp.ndarray, cap: int):
+    """Sort-dedup int32 keys (INVALID pads) -> (unique_sorted, inverse,
+    count, overflow). Same scheme as ops.frontier."""
+    order = jnp.argsort(keys, stable=True)
+    sk = keys[order]
+    is_new = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    uid_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    n_unique = jnp.sum(is_new & (sk != INVALID)).astype(jnp.int32)
+    unique = jnp.full((cap,), INVALID, jnp.int32).at[uid_sorted].set(
+        sk, mode="drop")
+    inverse = jnp.zeros(keys.shape, jnp.int32).at[order].set(
+        jnp.minimum(uid_sorted, cap - 1))
+    return unique, inverse, n_unique, n_unique > cap
+
+
+class XErte(nn.Module):
+    cfg: XErteConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        graph_rowptr: jnp.ndarray,
+        graph_rel: jnp.ndarray,
+        graph_tail: jnp.ndarray,
+        ekey: jnp.ndarray,            # (n_edges,) head*time_key_base+time
+        time_key_base: int,
+        subs: jnp.ndarray,            # (B,)
+        rels: jnp.ndarray,            # (B,)
+        times: jnp.ndarray,           # (B,) compact time ids
+        qmask: jnp.ndarray,           # (B,)
+        rng_seed: jnp.ndarray,        # () int32 sampling seed
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        """Returns (entity_mass (B, n_ent), aux) — the per-entity
+        attention distribution the BCE loss and segment ranking act on."""
+        cfg = self.cfg
+        b = subs.shape[0]
+        d0 = cfg.emb_dim[0]
+
+        ent_embed = self.param("entity_raw_embed",
+                               nn.initializers.xavier_normal(),
+                               (cfg.n_ent, d0))
+        rel_embed = self.param("relation_raw_embed",
+                               nn.initializers.xavier_normal(),
+                               (cfg.n_rel + 1, d0))
+        time_enc = TimeEncode(d0, name="time_encoder")
+        node_proj = nn.Dense(d0, kernel_init=nn.initializers.xavier_normal(),
+                             name="node_emb_proj")
+
+        bypass = [
+            (nn.Dense(cfg.emb_dim[s + 1],
+                      kernel_init=nn.initializers.xavier_normal(),
+                      name=f"linear_between_steps_{s}"))
+            for s in range(cfg.dp_steps)
+        ]
+        g3 = [G3(4 * cfg.emb_dim[s], name=f"transition_fn_{s}")
+              for s in range(cfg.dp_steps)]
+
+        leaky = lambda x: jax.nn.leaky_relu(x, 0.01)
+
+        def node_emb(ent, dt):
+            base = ent_embed[ent]
+            if cfg.use_time_embedding:
+                return node_proj(jnp.concatenate(
+                    [base, time_enc(dt.astype(jnp.float32))], -1))
+            return node_proj(base)
+
+        # ---- initialize: one node per query --------------------------
+        nkb = cfg.node_key_base
+        node_keys = jnp.where(
+            qmask,
+            subs * cfg.n_time + times
+            + jnp.arange(b, dtype=jnp.int32) * nkb,
+            INVALID,
+        ).astype(jnp.int32)
+        visited_keys = node_keys                      # (V,)
+        visited_score = jnp.where(qmask, 1.0 - 1e-8, 0.0)
+        visited_repr = node_emb(subs, jnp.zeros(b))    # (V, d0)
+        attended_slots = jnp.arange(b, dtype=jnp.int32)  # into visited arrays
+        attended_valid = qmask
+
+        q_src_emb = visited_repr
+        q_rel_emb = rel_embed[rels]
+
+        edge_lists: List[Dict[str, jnp.ndarray]] = []
+        aux: Dict[str, Any] = {"node_overflow": []}
+
+        for step in range(cfg.dp_steps):
+            k = cfg.dp_num_edges
+            n_att = attended_slots.shape[0]
+            # ---- sample K neighbors per attended node + self-loop ----
+            att_keys = visited_keys[attended_slots]
+            att_valid = attended_valid & (att_keys != INVALID)
+            ent_i = jnp.where(att_valid, (att_keys % nkb) // cfg.n_time, 0)
+            ts_i = jnp.where(att_valid, att_keys % cfg.n_time, 0)
+            eg_i = jnp.where(att_valid, att_keys // nkb, b)
+
+            base = ent_i * time_key_base
+            lo = jnp.searchsorted(ekey, base).astype(jnp.int32)
+            hi = jnp.searchsorted(ekey, base + ts_i).astype(jnp.int32)
+            span = hi - lo  # candidate historical edges (t' < t_i)
+
+            u = jax.random.uniform(
+                jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(17), step),
+                    rng_seed),
+                (n_att, k),
+            )
+            if cfg.sampling == "uniform":
+                off = (u * span[:, None]).astype(jnp.int32)
+            elif cfg.sampling == "last":
+                off = span[:, None] - 1 - jnp.arange(k)[None, :]
+            else:  # recency-weighted: exponential offsets from the end
+                off = span[:, None] - 1 - (
+                    -jnp.log(u + 1e-12) * cfg.weight_factor * k
+                ).astype(jnp.int32)
+            off = jnp.clip(off, 0, jnp.maximum(span - 1, 0)[:, None])
+            samp_valid = att_valid[:, None] & (span > 0)[:, None] & (
+                jnp.arange(k)[None, :] < span[:, None])
+            edge_id = (lo[:, None] + off).reshape(-1)           # (n_att*k,)
+            e_rel = graph_rel[edge_id]
+            e_tail = graph_tail[edge_id]
+            e_time = (ekey[edge_id] % time_key_base).astype(jnp.int32)
+            e_src_slot = jnp.repeat(attended_slots, k)
+            e_valid = samp_valid.reshape(-1)
+            # + self-loop edge per attended node (`model.py:628`)
+            sl_rel = jnp.full((n_att,), cfg.n_rel, jnp.int32)
+            e_rel = jnp.concatenate([e_rel, sl_rel])
+            e_tail = jnp.concatenate([e_tail, ent_i])
+            e_time = jnp.concatenate([e_time, ts_i])
+            e_src_slot = jnp.concatenate([e_src_slot, attended_slots])
+            e_valid = jnp.concatenate([e_valid, att_valid])
+            e_eg = jnp.concatenate([jnp.repeat(eg_i, k), eg_i])
+
+            # ---- target node keys; extend visited set ---------------
+            tgt_keys = jnp.where(
+                e_valid,
+                e_eg * nkb + e_tail * cfg.n_time + e_time,
+                INVALID,
+            ).astype(jnp.int32)
+            v_cap_next = cfg.visited_cap(step + 1, b)
+            all_keys = jnp.concatenate([visited_keys, tgt_keys])
+            new_visited, inv, n_vis, overflow = _dedup_keys(
+                all_keys, v_cap_next)
+            aux["node_overflow"].append(overflow)
+            old_pos = inv[: visited_keys.shape[0]]
+            e_dst_slot = inv[visited_keys.shape[0]:]
+
+            # scatter old state into the new slot space
+            def relocate(x, fill=0.0):
+                out = jnp.full((v_cap_next,) + x.shape[1:], fill, x.dtype)
+                return out.at[old_pos].set(x, mode="drop")
+
+            new_repr = relocate(visited_repr)
+            new_score = relocate(visited_score)
+            # embed genuinely new nodes (those whose slot wasn't filled):
+            filled = jnp.zeros((v_cap_next,), bool).at[old_pos].set(
+                visited_keys != INVALID, mode="drop")
+            nk = new_visited
+            nk_valid = nk != INVALID
+            nk_ent = jnp.where(nk_valid, (nk % nkb) // cfg.n_time, 0)
+            nk_ts = jnp.where(nk_valid, nk % cfg.n_time, 0)
+            nk_eg = jnp.where(nk_valid, nk // nkb, 0)
+            # node-relative time vs the query time (`model.py:577`)
+            dt = nk_ts - times[jnp.minimum(nk_eg, b - 1)]
+            fresh_emb = node_emb(nk_ent, dt)
+            for i in range(step):
+                fresh_emb = leaky(bypass[i](fresh_emb))
+            new_repr = jnp.where((nk_valid & ~filled)[:, None], fresh_emb,
+                                 new_repr)
+            visited_keys = new_visited
+            visited_repr = new_repr
+            visited_score = new_score
+            e_src_slot = old_pos[e_src_slot]  # re-index into new slot space
+
+            # fresh relation embeddings pass through the previous steps'
+            # bypass layers so dims line up (`model.py:521-523`)
+            fresh_rel = rel_embed[e_rel]
+            for i in range(step):
+                fresh_rel = leaky(bypass[i](fresh_rel))
+            edge_lists.append({
+                "src": e_src_slot, "dst": e_dst_slot,
+                "rel_emb": fresh_rel, "eg": e_eg, "valid": e_valid,
+            })
+
+            # ---- transition attention + pruning (`model.py:204-244`) --
+            for j in range(step):
+                edge_lists[j]["rel_emb"] = leaky(
+                    bypass[step - 1](edge_lists[j]["rel_emb"]))
+
+            el = edge_lists[-1]
+            qs = q_src_emb[jnp.minimum(el["eg"], b - 1)]
+            qr = q_rel_emb[jnp.minimum(el["eg"], b - 1)]
+            hi_repr = visited_repr[el["src"]]
+            hj_repr = visited_repr[el["dst"]]
+            left = jnp.concatenate([hi_repr, el["rel_emb"], qs, qr], -1)
+            right = jnp.concatenate([hj_repr, el["rel_emb"], qs, qr], -1)
+            logits = g3[step](left, right)
+            alpha = segment_softmax(logits, el["src"], v_cap_next,
+                                    valid=el["valid"])
+            src_score = visited_score[el["src"]]
+            target_score = alpha * src_score
+            keep = segment_topk_mask(target_score, el["eg"], b + 1,
+                                     cfg.max_attended_edges,
+                                     valid=el["valid"])
+            el["valid"] = keep
+            el["alpha"] = alpha
+
+            # node score aggregation (`model.py:246-272`)
+            dst = jnp.where(keep, el["dst"], v_cap_next)
+            if cfg.node_score_aggregation == "max":
+                from redgnn_tpu.ops.segment import segment_max
+
+                new_score = segment_max(
+                    jnp.where(keep, target_score, -1e30), dst, v_cap_next)
+                new_score = jnp.maximum(new_score, 0.0)
+            else:
+                w = alpha
+                if cfg.node_score_aggregation == "mean":
+                    cnt = segment_sum(keep.astype(jnp.float32), dst,
+                                      v_cap_next)
+                    w = alpha / jnp.maximum(cnt[jnp.minimum(dst, v_cap_next - 1)], 1.0)
+                new_score = segment_sum(
+                    jnp.where(keep, w * src_score, 0.0), dst, v_cap_next)
+
+            # L1-normalize per query (`model.py:478`)
+            vk_valid = visited_keys != INVALID
+            vk_eg = jnp.where(vk_valid, visited_keys // nkb, b)
+            visited_score = segment_normalize_l1(
+                new_score, vk_eg, b + 1, valid=vk_valid & (new_score > 0))
+
+            # ---- representation propagation over ALL edge lists ------
+            def propagate(repr_, edges, weight):
+                agg = segment_sum(
+                    jnp.where(edges["valid"][:, None],
+                              weight[:, None] * repr_[edges["src"]], 0.0),
+                    edges["dst"], repr_.shape[0])
+                has_in = segment_sum(
+                    jnp.where(edges["valid"], weight, 0.0),
+                    edges["dst"], repr_.shape[0]) > 0
+                out = jnp.where(
+                    has_in[:, None],
+                    (1 - cfg.ratio_update) * agg
+                    + cfg.ratio_update * repr_,
+                    repr_,
+                )
+                return out
+
+            visited_repr = propagate(visited_repr, el, el["alpha"])
+            for j in range(step - 1, -1, -1):
+                ej = edge_lists[j]
+                qs_j = q_src_emb[jnp.minimum(ej["eg"], b - 1)]
+                qr_j = q_rel_emb[jnp.minimum(ej["eg"], b - 1)]
+                l_j = jnp.concatenate(
+                    [visited_repr[ej["src"]], ej["rel_emb"], qs_j, qr_j], -1)
+                r_j = jnp.concatenate(
+                    [visited_repr[ej["dst"]], ej["rel_emb"], qs_j, qr_j], -1)
+                lg = g3[step](l_j, r_j)
+                al = segment_softmax(lg, ej["src"], visited_repr.shape[0],
+                                     valid=ej["valid"])
+                visited_repr = propagate(visited_repr, ej, al)
+
+            visited_repr = leaky(bypass[step](visited_repr))
+            q_src_emb = leaky(bypass[step](q_src_emb))
+            q_rel_emb = leaky(bypass[step](q_rel_emb))
+
+            # ---- next attended set: target nodes of pruned edges -----
+            att_cap = b * cfg.max_attended_edges
+            att_keys_next = jnp.where(keep, visited_keys[el["dst"]], INVALID)
+            uniq, _, _, _ = _dedup_keys(att_keys_next, att_cap)
+            attended_slots = jnp.searchsorted(visited_keys, uniq).astype(
+                jnp.int32)
+            attended_slots = jnp.minimum(attended_slots, v_cap_next - 1)
+            attended_valid = uniq != INVALID
+
+        # ---- entity aggregation (`model.py:596-640`) ----------------
+        att_keys = jnp.where(attended_valid,
+                             visited_keys[attended_slots], INVALID)
+        att_score = jnp.where(attended_valid,
+                              visited_score[attended_slots], 0.0)
+        eg = jnp.where(attended_valid, att_keys // nkb, b)
+        ent = jnp.where(attended_valid, (att_keys % nkb) // cfg.n_time, 0)
+        mass = jnp.zeros((b, cfg.n_ent))
+        if cfg.ent_score_aggregation == "mean":
+            cnt = jnp.zeros((b, cfg.n_ent)).at[eg, ent].add(
+                attended_valid.astype(jnp.float32), mode="drop")
+            mass = mass.at[eg, ent].add(att_score, mode="drop")
+            mass = mass / jnp.maximum(cnt, 1.0)
+        else:
+            mass = mass.at[eg, ent].add(att_score, mode="drop")
+        visited = jnp.zeros((b, cfg.n_ent), bool).at[eg, ent].set(
+            attended_valid, mode="drop")
+        aux["visited"] = visited
+        aux["node_overflow"] = jnp.stack(aux["node_overflow"])
+        return mass, aux
+
+
+def bce_loss(entity_mass: jnp.ndarray, targets: jnp.ndarray,
+             qmask: jnp.ndarray) -> jnp.ndarray:
+    """BCE over per-entity attention with the (0.999x + 0.0009) squash
+    (`model.py:550`). The reference sums over the sparse candidate list;
+    dense zeros contribute a constant -log(1 - 0.0009) absorbed here."""
+    b, n_ent = entity_mass.shape
+    p = entity_mass * 0.999 + 0.0009
+    onehot = jax.nn.one_hot(targets, n_ent)
+    per = -(onehot * jnp.log(p) + (1 - onehot) * jnp.log1p(-p))
+    return jnp.sum(jnp.where(qmask[:, None], per, 0.0)) / jnp.maximum(
+        jnp.sum(qmask) * n_ent, 1)

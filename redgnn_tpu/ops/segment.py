@@ -85,7 +85,11 @@ def segment_softmax(
     else:
         seg = segment_ids
     m = segment_max(data, seg, num_segments, indices_are_sorted)
-    centered = jnp.exp(data - m[jnp.minimum(seg, num_segments - 1)])
+    z = data - m[jnp.minimum(seg, num_segments - 1)]
+    # clamp BEFORE exp: for valid entries z <= 0 already (m is the segment
+    # max); for masked entries z can be huge and exp(z)=inf would poison
+    # the reverse pass through the jnp.where below (0 * inf = NaN).
+    centered = jnp.exp(jnp.minimum(z, 0.0))
     if valid is not None:
         centered = jnp.where(valid, centered, 0.0)
     denom = segment_sum(centered, seg, num_segments, indices_are_sorted)
@@ -94,6 +98,48 @@ def segment_softmax(
     if valid is not None:
         out = jnp.where(valid, out, 0.0)
     return out
+
+
+def segment_topk_mask(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    k: int,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Boolean mask of the k largest entries within each segment.
+
+    Static-shape replacement for `segment_topk`
+    (`Temporal/extrapolation/segment.py:288-318`): instead of returning
+    ragged per-segment lists (a python loop in the reference), return a
+    keep-mask over the flat entry array — callers compose it into their
+    own validity masks, which is how pruning works under XLA.
+
+    Entry e is kept iff its rank within its segment (by descending value,
+    ties broken by position) is < k. Computed by sorting (segment, -value)
+    pairs once — O(E log E) on device.
+    """
+    e = data.shape[0]
+    if valid is not None:
+        seg = jnp.where(valid, segment_ids, num_segments)
+        vals = jnp.where(valid, data, -jnp.inf)
+    else:
+        seg = segment_ids
+        vals = data
+    # sort by (segment asc, value desc, position asc)
+    order = jnp.lexsort((jnp.arange(e), -vals, seg))
+    seg_sorted = seg[order]
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), seg_sorted[1:] != seg_sorted[:-1]])
+    # rank within segment = position - start-of-segment position
+    pos = jnp.arange(e)
+    seg_start = jax.lax.cummax(jnp.where(is_new, pos, 0))
+    rank_sorted = pos - seg_start
+    keep_sorted = rank_sorted < k
+    keep = jnp.zeros(e, bool).at[order].set(keep_sorted)
+    if valid is not None:
+        keep &= valid
+    return keep
 
 
 def segment_normalize_l1(

@@ -288,8 +288,25 @@ class StaticTrainer:
         raise RuntimeError("eval frontier caps failed to stabilize")
 
     # ------------------------------------------------------------------
+    def state(self) -> Dict[str, Any]:
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def save(self, ckpt_dir: str, epoch: int, metric: float) -> str:
+        from redgnn_tpu.utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(ckpt_dir, self.state(), epoch, metric)
+
+    def restore(self, path: str) -> int:
+        from redgnn_tpu.utils.checkpoint import load_checkpoint
+
+        state, epoch, _ = load_checkpoint(path, self.state())
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        return epoch
+
     def fit(self, epochs: Optional[int] = None, log=print,
-            eval_every: int = 1) -> Dict[str, Any]:
+            eval_every: int = 1, logger=None,
+            ckpt_dir: Optional[str] = None) -> Dict[str, Any]:
         """Full driver: train, eval valid+test, keep best-valid epoch,
         re-split the graph — `train.py:119-131` + `base_model.py:81-82`."""
         epochs = epochs or self.cfg.epochs
@@ -306,8 +323,13 @@ class StaticTrainer:
                     test_mrr=tm["mrr"], test_h1=tm["h1"], test_h10=tm["h10"],
                     infer_time=time.time() - t0, train_time=self.t_train,
                 )
+                if logger is not None:
+                    logger.epoch_line(epoch, vm, tm, self.t_train,
+                                      row["infer_time"])
                 if vm["mrr"] > best["valid_mrr"]:
                     best = dict(row, valid_mrr=vm["mrr"])
+                    if ckpt_dir:
+                        self.save(ckpt_dir, epoch, vm["mrr"])
                 log(
                     f"epoch {epoch} loss {loss:.2f} "
                     f"[VALID] MRR:{vm['mrr']:.4f} H@1:{vm['h1']:.4f} "

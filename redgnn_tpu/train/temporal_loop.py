@@ -366,7 +366,24 @@ class TemporalTrainer:
             self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
                 self._lr)
 
-    def fit(self, epochs: Optional[int] = None, log=print) -> Dict[str, Any]:
+    def state(self) -> Dict[str, Any]:
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def save(self, ckpt_dir: str, epoch: int, metric: float) -> str:
+        from redgnn_tpu.utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(ckpt_dir, self.state(), epoch, metric)
+
+    def restore(self, path: str) -> int:
+        from redgnn_tpu.utils.checkpoint import load_checkpoint
+
+        state, epoch, _ = load_checkpoint(path, self.state())
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        return epoch
+
+    def fit(self, epochs: Optional[int] = None, log=print, logger=None,
+            ckpt_dir: Optional[str] = None) -> Dict[str, Any]:
         epochs = epochs or self.cfg.epochs
         best: Dict[str, Any] = {"valid_h1": -1.0}
         for epoch in range(epochs):
@@ -375,10 +392,16 @@ class TemporalTrainer:
             self.plateau_step(vm["loss"])
             row = {"epoch": epoch, "loss": loss, "lr": self._lr,
                    **{f"valid_{k}": v for k, v in vm.items()}}
+            if logger is not None:
+                logger.log_scalars(epoch, {k: v for k, v in row.items()
+                                           if isinstance(v, (int, float))},
+                                   tag="eval")
             if vm["h1"] > best["valid_h1"]:
                 tm = self.evaluate("test")
                 row.update({f"test_{k}": v for k, v in tm.items()})
                 best = dict(row, valid_h1=vm["h1"])
+                if ckpt_dir:
+                    self.save(ckpt_dir, epoch, vm["h1"])
             self.history.append(row)
             log(f"epoch {epoch} loss {loss:.3f} valid MRR {vm['mrr']:.4f} "
                 f"H@1 {vm['h1']:.4f} H@10 {vm['h10']:.4f} lr {self._lr:.2e}")

@@ -1,0 +1,75 @@
+"""Checkpoint / resume.
+
+Capability parity with both reference schemes:
+  * interpolation: `{metric:.5}.{epoch}.tar` files holding
+    model/optimizer/scheduler/epoch state, saved on valid-metric
+    improvement (`Temporal/interpolation/util.py:16-39`, `main.py:247-249`);
+  * extrapolation: timestamped checkpoint dirs + full-state files that a
+    loader can rebuild from (`Temporal/extrapolation/utils.py:617-690`).
+
+Serialization is flax msgpack (`flax.serialization`) — a single portable
+file per checkpoint; the training loop's numpy rng and plateau state ride
+along so resume is bit-exact on the host side.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def new_checkpoint_dir(root: str, prefix: str = "checkpoints") -> str:
+    """Timestamped checkpoint directory (`utils.py:679-690`)."""
+    stamp = time.strftime("%Y_%m_%d_%H_%M_%S")
+    path = os.path.join(root, f"{prefix}_{stamp}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], epoch: int,
+                    metric: float, keep: int = 3) -> str:
+    """Write `{metric:.5f}.{epoch}.msgpack`; prune to the best ``keep``."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state = dict(state, _meta=np.array([epoch, metric], np.float64))
+    path = os.path.join(ckpt_dir, f"{metric:.5f}.{epoch}.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+    ckpts = sorted(
+        glob.glob(os.path.join(ckpt_dir, "*.msgpack")),
+        key=lambda p: float(os.path.basename(p).split(".msgpack")[0]
+                            .rsplit(".", 1)[0]),
+        reverse=True,
+    )
+    for stale in ckpts[keep:]:
+        os.remove(stale)
+    return path
+
+
+def load_checkpoint(path: str, template: Dict[str, Any]
+                    ) -> Tuple[Dict[str, Any], int, float]:
+    """Restore a state pytree from a checkpoint file.
+
+    ``template`` must have the same structure (an initialized trainer's
+    state) — the loader rebuilds model+data first, exactly like
+    `extrapolation/utils.py:617-676`.
+    """
+    template = dict(template, _meta=np.zeros(2, np.float64))
+    with open(path, "rb") as f:
+        state = serialization.from_bytes(template, f.read())
+    meta = state.pop("_meta")
+    return state, int(meta[0]), float(meta[1])
+
+
+def best_checkpoint(ckpt_dir: str) -> Optional[str]:
+    ckpts = glob.glob(os.path.join(ckpt_dir, "*.msgpack"))
+    if not ckpts:
+        return None
+    return max(ckpts, key=lambda p: float(
+        os.path.basename(p).split(".msgpack")[0].rsplit(".", 1)[0]))

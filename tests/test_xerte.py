@@ -1,0 +1,81 @@
+"""xERTE baseline: shapes, probability semantics, differentiability."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from redgnn_tpu.graph.temporal import TemporalKG
+from redgnn_tpu.models.xerte import XErte, XErteConfig, bce_loss
+from tests.test_temporal import write_temporal_dir
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    kg = TemporalKG.load_vocab_dir(
+        str(write_temporal_dir(tmp_path_factory.mktemp("xerte"), rng)))
+    cfg = XErteConfig(
+        n_ent=kg.n_ent, n_rel=kg.idd_rel, n_time=kg.n_time + 2,
+        emb_dim=(32, 16, 8), dp_steps=2, dp_num_edges=4,
+        max_attended_edges=8,
+    )
+    model = XErte(cfg)
+    b = 4
+    q = kg.splits["valid"][:b]
+    args = (
+        kg.graph.rowptr, kg.graph.rel, kg.graph.tail, kg.ekey,
+        kg.time_key_base,
+        jnp.asarray(q[:, 0], jnp.int32), jnp.asarray(q[:, 1], jnp.int32),
+        jnp.asarray(q[:, 3], jnp.int32), jnp.ones(b, bool),
+        jnp.int32(0),
+    )
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    return kg, cfg, model, variables, args, q
+
+
+def test_forward_shapes_and_mass(setup):
+    kg, cfg, model, variables, args, q = setup
+    mass, aux = model.apply(variables, *args)
+    b = 4
+    assert mass.shape == (b, kg.n_ent)
+    mass_np = np.asarray(mass)
+    assert np.all(mass_np >= 0)
+    # per-query attention mass is L1-normalized over visited nodes; entity
+    # mass (a sum of node masses) must total ~1 per live query
+    sums = mass_np.sum(axis=1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-3)
+    assert not bool(jnp.any(aux["node_overflow"]))
+
+
+def test_sampling_strategies(setup):
+    kg, cfg, model, variables, args, q = setup
+    import dataclasses
+
+    for strat in ("uniform", "last", "weighted"):
+        cfg2 = dataclasses.replace(cfg, sampling=strat)
+        m2 = XErte(cfg2)
+        mass, _ = m2.apply(variables, *args)
+        assert np.all(np.isfinite(np.asarray(mass)))
+
+
+def test_bce_loss_grad(setup):
+    kg, cfg, model, variables, args, q = setup
+    targets = jnp.asarray(q[:, 2], jnp.int32)
+
+    def loss_fn(params):
+        mass, _ = model.apply({"params": params}, *args)
+        return bce_loss(mass, targets, jnp.ones(4, bool))
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+
+
+def test_jit_compiles(setup):
+    kg, cfg, model, variables, args, q = setup
+    f = jax.jit(lambda v, *a: model.apply(v, *a)[0])
+    mass = f(variables, *args)
+    assert mass.shape == (4, kg.n_ent)
