@@ -48,9 +48,15 @@ def simulate_hops(
 ) -> Tuple[List[int], List[int]]:
     """Exact node/edge counts per hop for one batch of query heads.
 
-    Fully vectorized numpy CSR walk (repeat/cumsum edge enumeration — the
+    Uses the native graphcore walker when built; otherwise a fully
+    vectorized numpy CSR walk (repeat/cumsum edge enumeration — the
     host-side mirror of ops.frontier.expand_frontier).
     """
+    from redgnn_tpu import native
+
+    res = native.simulate_hops(rowptr, tail, n_ent, heads, n_layer)
+    if res is not None:
+        return res
     rowptr = rowptr.astype(np.int64)
     keys = np.arange(len(heads), dtype=np.int64) * n_ent + heads
     node_counts = [len(keys)]
@@ -88,6 +94,12 @@ def simulate_hops_windowed(
 ) -> Tuple[List[int], List[int]]:
     """Exact counts for the time-windowed (extrapolation) expansion,
     including the always-present self-loop edge per frontier node."""
+    from redgnn_tpu import native
+
+    res = native.simulate_hops_windowed(ekey, tail, n_ent, key_base,
+                                        heads, times, window, n_layer)
+    if res is not None:
+        return res
     keys = np.arange(len(heads), dtype=np.int64) * n_ent + heads
     node_counts = [len(keys)]
     edge_counts = []

@@ -127,28 +127,59 @@ class StaticTrainer:
         self._train_step = jax.jit(
             self._train_step_impl, static_argnames=("caps",)
         )
+        # NOTE: no buffer donation — the overflow-replay path restores the
+        # epoch-start params, which donation would have invalidated.
+        self._train_epoch_scan = jax.jit(
+            self._train_epoch_scan_impl, static_argnames=("caps",),
+        )
 
     def _eval_step_for(self, n_ent: int):
-        """Jitted eval step for a graph with ``n_ent`` entities (params are
-        shared — no model parameter depends on the entity count)."""
+        """Jitted eval scan for a graph with ``n_ent`` entities (params are
+        shared — no model parameter depends on the entity count). Labels
+        and filters arrive as padded index lists and are expanded to
+        one-hot rows on device inside the scan, so the whole split is one
+        dispatch."""
         if n_ent not in self._eval_steps:
             import dataclasses
 
             model = RedGNN(dataclasses.replace(self.model_cfg, n_ent=n_ent))
 
-            def eval_impl(params, graph, subs, rels, labels, filters,
-                          qmask, caps: FrontierCaps):
-                scores, aux = model.apply(
-                    {"params": params}, graph, subs, rels, qmask, caps,
-                    False,
-                )
-                sums = rank_metric_sums(scores, labels, filters)
-                overflow = (jnp.any(aux["edge_overflow"])
-                            | jnp.any(aux["node_overflow"]))
+            def eval_scan(params, graph, subs_all, rels_all, ans_all,
+                          fil_all, qmask_all, caps: FrontierCaps):
+                b = subs_all.shape[1]
+                rows = jnp.arange(b)
+
+                def one_hot_from(idx):  # (b, M) padded with n_ent
+                    out = jnp.zeros((b, n_ent))
+                    return out.at[
+                        rows[:, None], jnp.minimum(idx, n_ent)
+                    ].set(jnp.where(idx < n_ent, 1.0, 0.0), mode="drop")
+
+                def body(carry, batch):
+                    sums_acc, overflow_any = carry
+                    subs, rels, ans, fil, qmask = batch
+                    labels = one_hot_from(ans) * qmask[:, None]
+                    filters = one_hot_from(fil)
+                    scores, aux = model.apply(
+                        {"params": params}, graph, subs, rels, qmask,
+                        caps, False,
+                    )
+                    sums = rank_metric_sums(scores, labels, filters)
+                    overflow = (jnp.any(aux["edge_overflow"])
+                                | jnp.any(aux["node_overflow"]))
+                    sums_acc = {k: sums_acc[k] + v for k, v in sums.items()}
+                    return (sums_acc, overflow_any | overflow), None
+
+                init_sums = {k: jnp.zeros(()) for k in
+                             ("rr_sum", "h1_sum", "h3_sum", "h10_sum",
+                              "count")}
+                (sums, overflow), _ = jax.lax.scan(
+                    body, (init_sums, jnp.zeros((), bool)),
+                    (subs_all, rels_all, ans_all, fil_all, qmask_all))
                 return sums, overflow
 
             self._eval_steps[n_ent] = jax.jit(
-                eval_impl, static_argnames=("caps",)
+                eval_scan, static_argnames=("caps",)
             )
         return self._eval_steps[n_ent]
 
@@ -170,6 +201,29 @@ class StaticTrainer:
         params = nan_scrub(params, scrub_rng)
         overflow = jnp.any(aux["edge_overflow"]) | jnp.any(aux["node_overflow"])
         return params, opt_state, loss, overflow, aux["num_edges"]
+
+    def _train_epoch_scan_impl(self, params, opt_state, graph, subs_all,
+                               rels_all, objs_all, qmask_all, rng,
+                               caps: FrontierCaps):
+        """Whole epoch as ONE compiled program: lax.scan over pre-staged
+        batches. One device dispatch per epoch instead of one per step —
+        essential on the tunneled TPU where every dispatch pays RPC
+        latency, and good hygiene anywhere (no per-step h2d)."""
+
+        def body(carry, batch):
+            params, opt_state, rng, loss_sum, overflow_any = carry
+            subs, rels, objs, qmask = batch
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, loss, overflow, _ = self._train_step_impl(
+                params, opt_state, graph, subs, rels, objs, qmask,
+                step_rng, caps)
+            return (params, opt_state, rng, loss_sum + loss,
+                    overflow_any | overflow), None
+
+        init = (params, opt_state, rng, jnp.zeros(()), jnp.zeros((), bool))
+        (params, opt_state, rng, loss_sum, overflow_any), _ = jax.lax.scan(
+            body, init, (subs_all, rels_all, objs_all, qmask_all))
+        return params, opt_state, loss_sum, overflow_any
 
     # ------------------------------------------------------------------
     def _iter_batches(self, data: np.ndarray, b: int):
@@ -214,25 +268,29 @@ class StaticTrainer:
         kg, cfg = self.kg, self.cfg
         t0 = time.time()
         data = kg.train_data
+        b = cfg.n_batch
+        nb = -(-len(data) // b)
+        pad = nb * b - len(data)
+        padded = np.concatenate([data, np.zeros((pad, 3), np.int64)])
+        qmask_all = np.ones(nb * b, bool)
+        if pad:
+            qmask_all[-pad:] = False
+        subs_all = jnp.asarray(padded[:, 0].reshape(nb, b), jnp.int32)
+        rels_all = jnp.asarray(padded[:, 1].reshape(nb, b), jnp.int32)
+        objs_all = jnp.asarray(padded[:, 2].reshape(nb, b), jnp.int32)
+        qm_all = jnp.asarray(qmask_all.reshape(nb, b))
+
         snap = (self.params, self.opt_state, self.rng)
         for attempt in range(3):
-            losses, overflows = [], []
-            for batch, qmask in self._iter_batches(data, cfg.n_batch):
-                subs = jnp.asarray(batch[:, 0], jnp.int32)
-                rels = jnp.asarray(batch[:, 1], jnp.int32)
-                objs = jnp.asarray(batch[:, 2], jnp.int32)
-                qm = jnp.asarray(qmask)
-                self.rng, step_rng = jax.random.split(self.rng)
-                self.params, self.opt_state, loss, overflow, _ = (
-                    self._train_step(self.params, self.opt_state, kg.graph,
-                                     subs, rels, objs, qm, step_rng,
-                                     self.train_caps)
-                )
-                losses.append(loss)
-                overflows.append(overflow)
-            overflow_seen = bool(np.any(jax.device_get(overflows)))
-            if not overflow_seen:
-                total_loss = float(np.sum(jax.device_get(losses)))
+            self.rng, epoch_rng = jax.random.split(self.rng)
+            params, opt_state, loss_sum, overflow = self._train_epoch_scan(
+                self.params, self.opt_state, kg.graph,
+                subs_all, rels_all, objs_all, qm_all, epoch_rng,
+                self.train_caps,
+            )
+            if not bool(overflow):
+                self.params, self.opt_state = params, opt_state
+                total_loss = float(loss_sum)
                 break
             # replay epoch from snapshot with exact capacities
             self.params, self.opt_state, self.rng = snap
@@ -258,29 +316,36 @@ class StaticTrainer:
                 headroom=cfg.cap_headroom,
             )
         queries, answers = spec.queries, spec.answers
-        ans_by_start = {s: answers[s:s + b] for s in range(0, len(queries), b)}
+        nq = len(queries)
+        nb = -(-nq // b)
+        pad = nb * b - nq
+        padded_q = np.concatenate([queries, np.zeros((pad, 2), np.int64)])
+        qmask = np.ones(nb * b, bool)
+        if pad:
+            qmask[-pad:] = False
+        # stage answers/filters as padded index lists (pad id = n_ent)
+        filt_rows = [spec.filter_row(h, r) for h, r in padded_q]
+        max_a = max((len(a) for a in answers), default=1) or 1
+        max_f = max((len(f) for f in filt_rows), default=1) or 1
+        ans_idx = np.full((nb * b, max_a), spec.n_ent, np.int64)
+        fil_idx = np.full((nb * b, max_f), spec.n_ent, np.int64)
+        for i, a in enumerate(answers):
+            ans_idx[i, :len(a)] = a
+        for i, f in enumerate(filt_rows):
+            fil_idx[i, :len(f)] = f
+
+        stage = lambda x, dt=jnp.int32: jnp.asarray(
+            x.reshape((nb, b) + x.shape[1:]), dt)
         for attempt in range(3):
-            partials, overflows = [], []
-            start = 0
-            for q, qmask in self._iter_batches(queries, b):
-                a = ans_by_start[start]
-                start += b
-                labels = np.zeros((b, spec.n_ent), np.float32)
-                filters = np.zeros((b, spec.n_ent), np.float32)
-                for i, ans in enumerate(a):
-                    labels[i, ans] = 1.0
-                    filters[i, spec.filter_row(q[i, 0], q[i, 1])] = 1.0
-                sums, overflow = eval_step(
-                    self.params, spec.graph,
-                    jnp.asarray(q[:, 0], jnp.int32),
-                    jnp.asarray(q[:, 1], jnp.int32),
-                    jnp.asarray(labels), jnp.asarray(filters),
-                    jnp.asarray(qmask), self.eval_caps[split],
-                )
-                partials.append(sums)
-                overflows.append(overflow)
-            if not bool(np.any(jax.device_get(overflows))):
-                return combine_metric_sums(jax.device_get(partials))
+            sums, overflow = eval_step(
+                self.params, spec.graph,
+                stage(padded_q[:, 0]), stage(padded_q[:, 1]),
+                stage(ans_idx), stage(fil_idx),
+                jnp.asarray(qmask.reshape(nb, b)),
+                self.eval_caps[split],
+            )
+            if not bool(overflow):
+                return combine_metric_sums([jax.device_get(sums)])
             self.eval_caps[split] = self._recalibrate_exact(
                 self.eval_caps[split], spec.graph_np, queries, b,
                 n_ent=spec.n_ent,

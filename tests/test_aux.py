@@ -1,0 +1,86 @@
+"""Auxiliary subsystems: checkpointing, reporting, memory, HPO."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from redgnn_tpu.utils.checkpoint import (
+    best_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from redgnn_tpu.utils.hpo import STATIC_SPACE, asha_search
+from redgnn_tpu.utils.memory import PeakRSSMonitor, write_memory_report
+from redgnn_tpu.utils.reporting import ExperimentLogger
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"params": {"w": jnp.ones((3, 3)), "b": jnp.zeros(3)},
+             "opt_state": {"count": jnp.asarray(7)}}
+    path = save_checkpoint(str(tmp_path), state, epoch=5, metric=0.8123)
+    assert "0.81230.5" in os.path.basename(path)
+    template = {"params": {"w": jnp.zeros((3, 3)), "b": jnp.ones(3)},
+                "opt_state": {"count": jnp.asarray(0)}}
+    got, epoch, metric = load_checkpoint(path, template)
+    assert epoch == 5 and abs(metric - 0.8123) < 1e-9
+    np.testing.assert_array_equal(got["params"]["w"], np.ones((3, 3)))
+    assert int(got["opt_state"]["count"]) == 7
+
+    # pruning keeps the best k
+    for i, m in enumerate([0.1, 0.9, 0.5, 0.7]):
+        save_checkpoint(str(tmp_path), state, epoch=10 + i, metric=m)
+    assert "0.90000" in os.path.basename(best_checkpoint(str(tmp_path)))
+
+
+def test_experiment_logger(tmp_path):
+    logger = ExperimentLogger(str(tmp_path), "testrun",
+                              sqlite_path=str(tmp_path / "runs.db"))
+    logger.log_scalars(0, {"loss": 1.5}, tag="train")
+    line = logger.epoch_line(
+        0, {"mrr": 0.5, "h1": 0.4, "h10": 0.7},
+        {"mrr": 0.45, "h1": 0.35, "h10": 0.65}, 10.0, 2.0)
+    assert "[VALID] MRR:0.5000" in line
+    logger.close()
+    rows = [json.loads(l) for l in open(logger.jsonl_path)]
+    assert len(rows) == 2
+
+    import sqlite3
+
+    db = sqlite3.connect(str(tmp_path / "runs.db"))
+    assert db.execute("SELECT COUNT(*) FROM metrics").fetchone()[0] == 2
+
+
+def test_memory_report(tmp_path):
+    with PeakRSSMonitor(0.01) as mon:
+        _ = np.zeros(1_000_00)
+    line = write_memory_report(str(tmp_path / "mem.txt"), "test",
+                               mon.peak_rss_bytes)
+    assert "CPU_peak_RSS" in line and "json=" in line
+
+
+def test_asha_search():
+    """ASHA finds the known optimum of a toy objective."""
+    calls = []
+
+    def run_trial(params, epochs, state):
+        total = (state or 0) + epochs
+        # metric improves with epochs; optimum at lr ~ 3e-3
+        import math
+
+        score = -abs(math.log(params["lr"] / 3e-3)) + 0.1 * total
+        calls.append((params["lr"], epochs))
+        return score, total
+
+    best = asha_search(STATIC_SPACE, run_trial, num_trials=12,
+                       min_epochs=1, max_epochs=4, seed=0)
+    assert best.metric > -math_inf_guard()
+    assert best.epochs_done == 4
+    # halving happened: later rungs run fewer trials
+    total_epochs = sum(e for _, e in calls)
+    assert total_epochs < 12 * 4
+
+
+def math_inf_guard():
+    return float("inf")
