@@ -125,6 +125,56 @@ class TemporalTrainer:
         if cfg.mode == "extrapolation":
             self._eval_step_ex = jax.jit(self._eval_step_ex_impl,
                                          static_argnames=("caps",))
+        self._train_epoch_scan = jax.jit(self._train_epoch_scan_impl,
+                                         static_argnames=("caps",))
+        self._eval_scan = jax.jit(self._eval_scan_impl,
+                                  static_argnames=("caps",))
+
+    def _train_epoch_scan_impl(self, params, opt_state, subs_a, rels_a,
+                               objs_a, times_a, qmask_a, excl_a, rng,
+                               caps: FrontierCaps):
+        """Whole epoch as one lax.scan (see loop.py) — one dispatch/epoch."""
+        use_excl = excl_a is not None
+
+        def body(carry, batch):
+            params, opt_state, rng, loss_sum, ov = carry
+            if use_excl:
+                subs, rels, objs, times, qmask, excl = batch
+            else:
+                subs, rels, objs, times, qmask = batch
+                excl = None
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, loss, overflow = self._train_step_impl(
+                params, opt_state, subs, rels, objs, times, qmask, excl,
+                step_rng, caps)
+            return (params, opt_state, rng, loss_sum + loss,
+                    ov | overflow), None
+
+        xs = (subs_a, rels_a, objs_a, times_a, qmask_a)
+        if use_excl:
+            xs = xs + (excl_a,)
+        init = (params, opt_state, rng, jnp.zeros(()), jnp.zeros((), bool))
+        (params, opt_state, rng, loss_sum, ov), _ = jax.lax.scan(
+            body, init, xs)
+        return params, opt_state, loss_sum, ov
+
+    def _eval_scan_impl(self, params, subs_a, rels_a, objs_a, times_a,
+                        qmask_a, caps: FrontierCaps):
+        """Interpolation-style raw eval over all batches in one dispatch."""
+
+        def body(carry, batch):
+            sums_acc, ov = carry
+            sums, overflow = self._eval_step_impl(params, *batch, caps)
+            return ({k: sums_acc[k] + v for k, v in sums.items()},
+                    ov | overflow), None
+
+        init_sums = {k: jnp.zeros(()) for k in
+                     ("rr_sum", "h1_sum", "h3_sum", "h10_sum", "count",
+                      "loss_sum")}
+        (sums, ov), _ = jax.lax.scan(
+            body, (init_sums, jnp.zeros((), bool)),
+            (subs_a, rels_a, objs_a, times_a, qmask_a))
+        return sums, ov
 
     # ------------------------------------------------------------------
     def _apply(self, params, subs, rels, times, qmask, caps, exclude, train,
@@ -247,27 +297,31 @@ class TemporalTrainer:
         rows = kg.exclusion_slots(order) if cfg.mode == "interpolation" \
             else None
         caps = self._get_caps("train", data, cfg.batch_size)
+        b = cfg.batch_size
+        nb = -(-len(data) // b)
+        pad = nb * b - len(data)
+        padded = np.concatenate([data, np.zeros((pad, 4), np.int64)])
+        qmask = np.ones(nb * b, bool)
+        if pad:
+            qmask[-pad:] = False
+        stage = lambda x: jnp.asarray(x.reshape(nb, b), jnp.int32)
+        excl_a = None
+        if rows is not None:
+            # pad with an out-of-range slot so padded queries exclude nothing
+            rows_p = np.concatenate(
+                [rows, np.full(pad, len(self.kg.graph_quads), np.int64)])
+            excl_a = stage(rows_p)
+        xs = (stage(padded[:, 0]), stage(padded[:, 1]), stage(padded[:, 2]),
+              stage(padded[:, 3]), jnp.asarray(qmask.reshape(nb, b)))
+
         snap = (self.params, self.opt_state, self.rng)
         for attempt in range(3):
-            losses, overflows = [], []
-            for batch, qmask, rid in self._batches(data, cfg.batch_size, rows):
-                exclude = (jnp.asarray(rid, jnp.int32)
-                           if rid is not None else None)
-                self.rng, step_rng = jax.random.split(self.rng)
-                self.params, self.opt_state, loss, overflow = (
-                    self._train_step(
-                        self.params, self.opt_state,
-                        jnp.asarray(batch[:, 0], jnp.int32),
-                        jnp.asarray(batch[:, 1], jnp.int32),
-                        jnp.asarray(batch[:, 2], jnp.int32),
-                        jnp.asarray(batch[:, 3], jnp.int32),
-                        jnp.asarray(qmask), exclude, step_rng, caps,
-                    )
-                )
-                losses.append(loss)
-                overflows.append(overflow)
-            if not bool(np.any(jax.device_get(overflows))):
-                total = float(np.sum(jax.device_get(losses)))
+            self.rng, epoch_rng = jax.random.split(self.rng)
+            params, opt_state, loss_sum, overflow = self._train_epoch_scan(
+                self.params, self.opt_state, *xs, excl_a, epoch_rng, caps)
+            if not bool(overflow):
+                self.params, self.opt_state = params, opt_state
+                total = float(loss_sum)
                 break
             self.params, self.opt_state, self.rng = snap
             self._recalibrate_exact("train", data, cfg.batch_size)
@@ -284,18 +338,17 @@ class TemporalTrainer:
         caps = self._get_caps(f"eval_{split}", data, b)
         if cfg.mode == "extrapolation":
             sp2o, spt2o = self._filters()
-        for attempt in range(3):
-            partials, overflows = [], []
-            for batch, qmask, _ in self._batches(data, b, None):
-                args = [
-                    self.params,
-                    jnp.asarray(batch[:, 0], jnp.int32),
-                    jnp.asarray(batch[:, 1], jnp.int32),
-                    jnp.asarray(batch[:, 2], jnp.int32),
-                    jnp.asarray(batch[:, 3], jnp.int32),
-                    jnp.asarray(qmask),
-                ]
-                if cfg.mode == "extrapolation":
+            for attempt in range(3):
+                partials, overflows = [], []
+                for batch, qmask, _ in self._batches(data, b, None):
+                    args = [
+                        self.params,
+                        jnp.asarray(batch[:, 0], jnp.int32),
+                        jnp.asarray(batch[:, 1], jnp.int32),
+                        jnp.asarray(batch[:, 2], jnp.int32),
+                        jnp.asarray(batch[:, 3], jnp.int32),
+                        jnp.asarray(qmask),
+                    ]
                     fil = np.ones((b, kg.n_ent), bool)
                     fil_t = np.ones((b, kg.n_ent), bool)
                     for i in range(len(batch)):
@@ -308,12 +361,28 @@ class TemporalTrainer:
                         fil_t[i, [e for e in known_t if e != o]] = False
                     sums, overflow = self._eval_step_ex(
                         *args, jnp.asarray(fil), jnp.asarray(fil_t), caps)
-                else:
-                    sums, overflow = self._eval_step(*args, caps)
-                partials.append(sums)
-                overflows.append(overflow)
-            if not bool(np.any(jax.device_get(overflows))):
-                return self._combine(jax.device_get(partials))
+                    partials.append(sums)
+                    overflows.append(overflow)
+                if not bool(np.any(jax.device_get(overflows))):
+                    return self._combine(jax.device_get(partials))
+                self._recalibrate_exact(f"eval_{split}", data, b)
+                caps = self.caps[f"eval_{split}"]
+            raise RuntimeError("temporal eval caps failed to stabilize")
+
+        # interpolation: one scan dispatch over all staged batches
+        nb = -(-len(data) // b)
+        pad = nb * b - len(data)
+        padded = np.concatenate([data, np.zeros((pad, 4), np.int64)])
+        qmask = np.ones(nb * b, bool)
+        if pad:
+            qmask[-pad:] = False
+        stage = lambda x: jnp.asarray(x.reshape(nb, b), jnp.int32)
+        xs = (stage(padded[:, 0]), stage(padded[:, 1]), stage(padded[:, 2]),
+              stage(padded[:, 3]), jnp.asarray(qmask.reshape(nb, b)))
+        for attempt in range(3):
+            sums, overflow = self._eval_scan(self.params, *xs, caps)
+            if not bool(overflow):
+                return self._combine([jax.device_get(sums)])
             self._recalibrate_exact(f"eval_{split}", data, b)
             caps = self.caps[f"eval_{split}"]
         raise RuntimeError("temporal eval caps failed to stabilize")
