@@ -51,13 +51,23 @@ def main():
     rowptr, _, tail = kg.graph_np
     total_edges = 0
     batches = np.zeros((nb, b, 3), np.int64)
+    from redgnn_tpu.graph.calibrate import FrontierCaps, _round_up
+
+    node_caps = list(trainer.train_caps.node_caps)
+    edge_caps = list(trainer.train_caps.edge_caps)
     for i in range(nb):
         start = (i * b) % (len(data) - b)
         batch = data[start:start + b]
-        _, ec = simulate_hops(rowptr, tail, kg.n_ent, batch[:, 0],
-                              cfg.n_layer)
+        nc, ec = simulate_hops(rowptr, tail, kg.n_ent, batch[:, 0],
+                               cfg.n_layer)
         total_edges += sum(ec)
         batches[i] = batch
+        # exact capacity cover for the benched batches (no overflow replay
+        # during timing)
+        for j in range(cfg.n_layer):
+            node_caps[j + 1] = max(node_caps[j + 1], _round_up(nc[j + 1] + 8))
+            edge_caps[j] = max(edge_caps[j], _round_up(ec[j] + 8))
+    trainer.train_caps = FrontierCaps(tuple(node_caps), tuple(edge_caps))
 
     subs = jnp.asarray(batches[:, :, 0], jnp.int32)
     rels = jnp.asarray(batches[:, :, 1], jnp.int32)

@@ -130,8 +130,15 @@ def expand_frontier_ranges(
     start = cum - deg_eff
 
     e_idx = jnp.arange(edge_cap, dtype=jnp.int32)
-    # Which frontier slot does output edge slot e belong to?
-    src = jnp.searchsorted(cum, e_idx, side="right").astype(jnp.int32)
+    # Which frontier slot does output edge slot e belong to? A binary
+    # search (searchsorted) lowers ~10x slower than everything else on
+    # TPU; instead scatter each node's index at its start offset and
+    # cummax-fill: nodes with deg>0 have strictly increasing starts, so
+    # the largest marker at or before e is exactly its owner.
+    marker = jnp.zeros((edge_cap,), jnp.int32).at[
+        jnp.where(deg_eff > 0, start, edge_cap)
+    ].max(jnp.arange(prev_cap, dtype=jnp.int32), mode="drop")
+    src = jax.lax.cummax(marker)
     edge_valid = e_idx < total_edges
     src_c = jnp.minimum(src, prev_cap - 1)
     within = e_idx - start[src_c]

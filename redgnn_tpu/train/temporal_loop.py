@@ -106,6 +106,10 @@ class TemporalTrainer:
         # inject_hyperparams lets the plateau scheduler rewrite the lr in
         # the optimizer state without resetting Adam moments
         self.tx = optax.inject_hyperparams(make_opt)(learning_rate=cfg.lr)
+        if cfg.grad_accum_steps > 1:
+            # gradient accumulation (`extrapolation/main.py:140`,
+            # applied `train.py:249-251`)
+            self.tx = optax.MultiSteps(self.tx, cfg.grad_accum_steps)
         self.opt_state = self.tx.init(self.params)
 
         # ReduceLROnPlateau state (torch semantics: factor, patience)
@@ -432,8 +436,10 @@ class TemporalTrainer:
         if self._plateau_bad > self.cfg.patience:
             self._lr *= self.cfg.plateau_factor
             self._plateau_bad = 0
-            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                self._lr)
+            state = self.opt_state
+            if hasattr(state, "inner_opt_state"):  # MultiSteps wrapper
+                state = state.inner_opt_state
+            state.hyperparams["learning_rate"] = jnp.asarray(self._lr)
 
     def state(self) -> Dict[str, Any]:
         return {"params": self.params, "opt_state": self.opt_state}

@@ -115,6 +115,7 @@ class TemporalTrainConfig:
     patience: int = 3                  # ReduceLROnPlateau on valid loss
     plateau_factor: float = 0.1
     grad_clip: Optional[float] = None
+    grad_accum_steps: int = 1  # `extrapolation/main.py:140` gradient_iters_per_update
     batch_size: int = 32
     eval_batch_size: int = 32
     epochs: int = 50
