@@ -100,7 +100,11 @@ def main(argv=None):
             os.path.join(args.data_path, "entity2id.txt"))
         if id_based:
             kg = TemporalKG.load_id_dir(
-                args.data_path, time_granularity=cfg.time_granularity)
+                args.data_path, add_inverse=True,
+                time_granularity=cfg.time_granularity,
+                graph_from_all_splits=(cfg.mode == "extrapolation"),
+                warm_start_time=48 if cfg.mode == "extrapolation" else 0,
+            )
         else:
             kg = TemporalKG.load_vocab_dir(args.data_path)
         trainer = TemporalTrainer(kg, cfg)

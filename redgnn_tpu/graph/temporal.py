@@ -140,11 +140,27 @@ class TemporalKG:
 
     # ------------------------------------------------------------------
     @classmethod
-    def load_id_dir(cls, data_dir: str, add_inverse: bool = False,
+    def load_id_dir(cls, data_dir: str, add_inverse: bool = True,
                     self_loops: bool = True,
-                    time_granularity: int = 1) -> "TemporalKG":
+                    time_granularity: int = 1,
+                    graph_from_all_splits: bool = False,
+                    warm_start_time: int = 0) -> "TemporalKG":
         """Id-based dirs (`ICEWS14_TeMP`, `*_forecasting`): quadruples with
-        numeric ids, 4 or 5 columns (`extrapolation/utils.py:99-121`)."""
+        numeric ids, 4 or 5 columns (`extrapolation/utils.py:99-121`).
+
+        ``add_inverse`` appends reversed quadruples (r + n_rel) to the
+        graph AND to every split — the extrapolation reference evaluates
+        both directions (`utils.py:30-49,60-96`).
+
+        ``graph_from_all_splits`` reproduces the extrapolation protocol:
+        the propagation graph is train+valid+test concatenated
+        (`utils.py:108-109`) — causality is enforced by the per-query
+        window [τ − W, τ), which at evaluation time may legitimately see
+        observed facts from earlier eval timestamps.
+
+        ``warm_start_time`` (raw units, pre-granularity) drops the
+        earliest training queries (`extrapolation/main.py:134`).
+        """
 
         def read(fname):
             rows = []
@@ -171,17 +187,25 @@ class TemporalKG:
         n_raw_rel = count_file("relation2id.txt") or int(
             max(s[:, 1].max() for s in splits.values() if len(s)) + 1)
 
-        train = splits["train"]
         if add_inverse:
-            inv = train[:, [2, 1, 0, 3]].copy()
-            inv[:, 1] += n_raw_rel
-            train_graph = np.concatenate([train, inv], 0)
+            for name, arr in splits.items():
+                inv = arr[:, [2, 1, 0, 3]].copy()
+                inv[:, 1] += n_raw_rel
+                both = np.concatenate([arr, inv], 0)
+                # time-sorted splits (`utils.py:99-106`)
+                splits[name] = both[np.argsort(both[:, 3], kind="stable")]
             n_rel_eff = 2 * n_raw_rel
         else:
-            train_graph = train
             n_rel_eff = n_raw_rel
+
+        if graph_from_all_splits:
+            graph_base = np.concatenate(
+                [splits["train"], splits["valid"], splits["test"]], 0)
+        else:
+            graph_base = splits["train"]
+
         idd_rel = n_rel_eff
-        parts = [train_graph]
+        parts = [graph_base]
         if self_loops:
             ents = np.arange(n_ent)
             dummy_t = int(max(s[:, 3].max() for s in splits.values()
@@ -191,10 +215,16 @@ class TemporalKG:
                 np.full(n_ent, dummy_t)], 1))
         graph_quads = np.concatenate(parts, 0)
 
+        if warm_start_time:
+            ws = warm_start_time // time_granularity
+            tr = splits["train"]
+            splits["train"] = tr[tr[:, 3] >= ws]
+
         kg = cls(
-            n_ent=n_ent, n_rel=idd_rel + 1, n_time=int(graph_quads[:, 3].max() + 1),
+            n_ent=n_ent, n_rel=idd_rel + 1,
+            n_time=int(graph_quads[:, 3].max() + 1),
             idd_rel=idd_rel, graph_quads=graph_quads,
-            n_facts=len(train_graph), row_to_slot=None,
+            n_facts=len(graph_base), row_to_slot=None,
         )
         kg.splits = splits
         kg._build_csr()
