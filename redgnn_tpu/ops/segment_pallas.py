@@ -61,19 +61,35 @@ def _kernel(chunk0_ref, nchunks_ref, seg_ref, data_ref, out_ref, acc_ref):
         out_ref[...] = acc_ref[...]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def segment_sum_pallas(data: jnp.ndarray, segment_ids: jnp.ndarray,
-                       num_segments: int) -> jnp.ndarray:
+                       num_segments: int,
+                       kmax: int | None = None) -> jnp.ndarray:
     """Sum rows of ``data`` by sorted ``segment_ids`` into ``num_segments``.
 
     Requirements: segment_ids sorted ascending; rows whose contribution
     must vanish should carry zero data (out-of-range ids also work — they
     fall outside every block's local window).
+
+    ``kmax`` statically bounds the edge chunks any single node block may
+    consume. None = exact worst case (every chunk); for balanced segment
+    distributions pass ~4x the mean via `default_kmax` — blocks needing
+    more are detected by `segment_sum_pallas_checked`'s overflow flag and
+    handled by the caller's recompile-and-grow machinery (same philosophy
+    as the frontier capacity buckets).
     """
-    return _segment_sum_fwd_impl(data, segment_ids, num_segments)
+    out, _ = _segment_sum_fwd_impl(data, segment_ids, num_segments, kmax)
+    return out
 
 
-def _segment_sum_fwd_impl(data, segment_ids, num_segments):
+def default_kmax(edge_cap: int, num_segments: int, skew: float = 4.0) -> int:
+    """Static chunk budget per node block for balanced-ish segments."""
+    nb = max(1, -(-num_segments // BN))
+    mean_chunks = -(-edge_cap // (nb * CHUNK))
+    return min(-(-edge_cap // CHUNK), int(mean_chunks * skew) + 2)
+
+
+def _segment_sum_fwd_impl(data, segment_ids, num_segments, kmax=None):
     e, d = data.shape
     n = num_segments
     n_pad = pl.cdiv(n, BN) * BN
@@ -94,7 +110,9 @@ def _segment_sum_fwd_impl(data, segment_ids, num_segments):
     chunk0 = (starts // CHUNK).astype(jnp.int32)
     chunk1 = jnp.where(ends > starts, (ends - 1) // CHUNK, chunk0 - 1)
     nchunks = (chunk1 - chunk0 + 1).astype(jnp.int32)
-    kmax = int(total_chunks)  # static upper bound on chunks per block
+    overflow = jnp.any(nchunks > (kmax if kmax else total_chunks))
+    kmax = int(kmax) if kmax else int(total_chunks)
+    nchunks = jnp.minimum(nchunks, kmax)
 
     seg2d = segment_ids.astype(jnp.int32).reshape(e_pad, 1)
 
@@ -120,15 +138,23 @@ def _segment_sum_fwd_impl(data, segment_ids, num_segments):
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         interpret=jax.default_backend() == "cpu",
     )(chunk0, nchunks, seg2d, data.astype(jnp.float32))
-    return out[:n]
+    return out[:n], overflow
 
 
-def _fwd(data, segment_ids, num_segments):
-    return _segment_sum_fwd_impl(data, segment_ids, num_segments), (
-        segment_ids, data.shape[0])
+def segment_sum_pallas_checked(data, segment_ids, num_segments,
+                               kmax: int | None = None):
+    """(out, overflow) — overflow means some block exceeded ``kmax`` and
+    its tail chunks were dropped; the caller must grow kmax + recompile
+    (the trainers' standard replay path)."""
+    return _segment_sum_fwd_impl(data, segment_ids, num_segments, kmax)
 
 
-def _bwd(num_segments, res, g):
+def _fwd(data, segment_ids, num_segments, kmax):
+    out, _ = _segment_sum_fwd_impl(data, segment_ids, num_segments, kmax)
+    return out, (segment_ids, data.shape[0])
+
+
+def _bwd(num_segments, kmax, res, g):
     segment_ids, e = res
     safe = jnp.minimum(segment_ids[:e], num_segments - 1)
     d_data = g[safe]

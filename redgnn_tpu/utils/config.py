@@ -142,6 +142,13 @@ _TEMPORAL = {
         batch_size=20, lr=1e-2, patience=3, epochs=50, weight_decay=1e-2,
         hidden_dim=20, attn_dim=30, n_layer=4, dropout=0.1, act="leakyrelu",
     ),
+    # icews14_aug protocol on the committed id-based ICEWS14 split
+    # (the reference's data/preprocess.sh-fetched icews14_aug train file
+    # is not committed; ICEWS14_TeMP is the same 72826-quad split)
+    "ICEWS14_TeMP": TemporalTrainConfig(
+        batch_size=32, lr=1e-2, patience=3, epochs=20, weight_decay=1e-2,
+        hidden_dim=20, attn_dim=30, n_layer=4, dropout=0.1, act="leakyrelu",
+    ),
     # `Temporal/extrapolation/main.py:111-155,202-209`
     "ICEWS14_forecasting": TemporalTrainConfig(
         mode="extrapolation", window=120, time_granularity=24,
