@@ -220,6 +220,21 @@ class TemporalKG:
             tr = splits["train"]
             splits["train"] = tr[tr[:, 3] >= ws]
 
+        # seen/unseen-entity eval splits (`extrapolation/utils.py:52-96`):
+        # a test quadruple is "seen" iff head, tail and relation all occur
+        # in the training data
+        seen_e = set(splits["train"][:, 0]) | set(splits["train"][:, 2])
+        seen_r = set(splits["train"][:, 1])
+        for name in ("valid", "test"):
+            arr = splits[name]
+            if not len(arr):
+                continue
+            mask = np.array([
+                (h in seen_e) and (t in seen_e) and (r in seen_r)
+                for h, r, t, _ in arr])
+            splits[f"{name}_seen"] = arr[mask]
+            splits[f"{name}_unseen"] = arr[~mask]
+
         kg = cls(
             n_ent=n_ent, n_rel=idd_rel + 1,
             n_time=int(graph_quads[:, 3].max() + 1),

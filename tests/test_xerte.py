@@ -79,3 +79,36 @@ def test_jit_compiles(setup):
     f = jax.jit(lambda v, *a: model.apply(v, *a)[0])
     mass = f(variables, *args)
     assert mass.shape == (4, kg.n_ent)
+
+
+def test_xerte_trainer_smoke(tmp_path, rng):
+    from redgnn_tpu.train.xerte_loop import XErteTrainer
+
+    kg = TemporalKG.load_vocab_dir(
+        str(write_temporal_dir(tmp_path, rng)))
+    cfg = XErteConfig(
+        n_ent=kg.n_ent, n_rel=kg.idd_rel, n_time=kg.n_time + 2,
+        emb_dim=(16, 8), dp_steps=1, dp_num_edges=4, max_attended_edges=6,
+    )
+    trainer = XErteTrainer(kg, cfg, batch_size=16)
+    loss0 = trainer.train_epoch(0)
+    loss1 = trainer.train_epoch(1)
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    m = trainer.evaluate("valid")
+    assert 0.0 <= m["mrr"] <= 1.0
+
+
+def test_seen_unseen_splits(tmp_path, rng):
+    import pathlib
+    from redgnn_tpu.graph.preprocess import augment_with_inverses
+
+    (tmp_path / "src").mkdir()
+    src = write_temporal_dir(tmp_path / "src", rng)
+    # round-trip through the augmentation utility into an id-free dir
+    # (the vocab loader re-reads names, so this checks the preprocess too)
+    dst = tmp_path / "aug"
+    augment_with_inverses(str(src), str(dst))
+    assert (dst / "train.txt").exists()
+    n_src = len((src / "train.txt").read_text().splitlines())
+    n_dst = len((dst / "train.txt").read_text().splitlines())
+    assert n_dst == 2 * n_src
