@@ -61,6 +61,7 @@ class RelAttnLayer(nn.Module):
     segment_impl: str = "xla"
     edge_axis: str | None = None
     edge_shards: int = 1
+    compute_dtype: str = "float32"  # "bfloat16" halves gather/VPU traffic
 
     @nn.compact
     def __call__(
@@ -98,13 +99,18 @@ class RelAttnLayer(nn.Module):
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk)
             src, dst, rel, batch, valid = map(sl, (src, dst, rel, batch, valid))
 
-        hs = hidden_prev[src]            # (E, D) gather
-        hr = rela_embed[rel]             # (E, D)
-        h_qr = rela_embed[q_rel][batch]  # (E, D)
+        cdt = jnp.dtype(self.compute_dtype)
+        hidden_c = hidden_prev.astype(cdt)
+        rela_c = rela_embed.astype(cdt)
+        hs = hidden_c[src]            # (E, D) gather
+        hr = rela_c[rel]              # (E, D)
+        h_qr = rela_c[q_rel][batch]   # (E, D)
 
         logits = w_alpha(jax.nn.relu(ws(hs) + wr(hr) + wqr(h_qr)))
-        alpha = jax.nn.sigmoid(logits)
-        message = (hs + hr) * alpha
+        alpha = jax.nn.sigmoid(logits.astype(jnp.float32))
+        # accumulate in fp32 regardless of compute dtype (segment sums of
+        # up to ~10^6 messages)
+        message = (hs + hr).astype(jnp.float32) * alpha
         message = jnp.where(valid[:, None], message, 0.0)
 
         agg = segment_sum(

@@ -39,6 +39,7 @@ class ModelConfig:
     dropout: float = 0.29
     act: str = "relu"
     segment_impl: str = "xla"
+    compute_dtype: str = "float32"
     # edge-parallel propagation (set inside shard_map; SURVEY.md §5)
     edge_axis: str | None = None
     edge_shards: int = 1
@@ -86,6 +87,7 @@ class RedGNN(nn.Module):
                 n_rel=cfg.n_rel,
                 act=cfg.act,
                 segment_impl=cfg.segment_impl,
+                compute_dtype=cfg.compute_dtype,
                 edge_axis=cfg.edge_axis,
                 edge_shards=cfg.edge_shards,
                 name=f"layer_{i}",

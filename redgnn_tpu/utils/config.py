@@ -30,6 +30,7 @@ class TrainConfig:
     seed: int = 1234
     # TPU-specific
     segment_impl: str = "xla"
+    compute_dtype: str = "float32"  # "bfloat16" for bandwidth-bound graphs
     cap_headroom: float = 1.2
 
 

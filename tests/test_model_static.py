@@ -140,3 +140,28 @@ def test_padded_queries_score_zero(rng):
     scores, _ = model.apply(variables, graph, jnp.zeros(b, jnp.int32),
                             jnp.zeros(b, jnp.int32), qmask, caps, False)
     assert np.all(np.asarray(scores)[2:] == 0.0)
+
+
+def test_bfloat16_compute_close_to_fp32(rng):
+    import dataclasses
+    triples = make_graph(rng)
+    rowptr, rel, tail = build_csr(triples, N_ENT)
+    graph = DeviceGraph(jnp.asarray(rowptr), jnp.asarray(rel),
+                        jnp.asarray(tail))
+    cfg32 = ModelConfig(n_ent=N_ENT, n_rel=N_REL, hidden_dim=D, attn_dim=A,
+                        n_layer=2, dropout=0.0)
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    b = 4
+    caps = FrontierCaps((b, 128, 128), (1024, 1024))
+    subs = jnp.asarray(rng.integers(0, N_ENT, b), jnp.int32)
+    rels = jnp.asarray(rng.integers(0, 2 * N_REL, b), jnp.int32)
+    qmask = jnp.ones(b, bool)
+    key = jax.random.PRNGKey(0)
+    m32, m16 = RedGNN(cfg32), RedGNN(cfg16)
+    variables = m32.init({"params": key, "dropout": key}, graph, subs, rels,
+                         qmask, caps, False)
+    s32, _ = m32.apply(variables, graph, subs, rels, qmask, caps, False)
+    s16, _ = m16.apply(variables, graph, subs, rels, qmask, caps, False)
+    # bf16 has ~3 decimal digits; scores are O(0.1-1)
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32),
+                               atol=5e-2, rtol=5e-2)
