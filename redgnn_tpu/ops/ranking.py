@@ -23,6 +23,41 @@ import jax
 import jax.numpy as jnp
 
 
+def _avg_rank_desc(s_row: jnp.ndarray) -> jnp.ndarray:
+    """Average-tie rank of every element under descending order.
+
+    Sort-scan formulation: vectorized searchsorted lowers ~10x slower
+    than sort on TPU, so ranks come from one argsort + tie-group
+    averaging via cummax/segment scans.
+    """
+    n = s_row.shape[0]
+    order = jnp.argsort(-s_row, stable=True)
+    sorted_s = s_row[order]
+    pos = jnp.arange(n, dtype=jnp.float32)
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_s[1:] != sorted_s[:-1]])
+    # group start position, broadcast to members via cummax
+    group_start = jax.lax.cummax(jnp.where(is_new, pos, 0.0))
+    # group end position: reverse cummin of (next boundary - 1)
+    rev_new = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
+    group_end = jax.lax.cummin(
+        jnp.where(rev_new, pos, float(n)), reverse=True)
+    avg_sorted = (group_start + group_end) / 2.0 + 1.0
+    return jnp.zeros(n).at[order].set(avg_sorted)
+
+
+def _min_rank_desc(s_row: jnp.ndarray) -> jnp.ndarray:
+    """Min-tie rank (rankdata method='min') under descending order."""
+    n = s_row.shape[0]
+    order = jnp.argsort(-s_row, stable=True)
+    sorted_s = s_row[order]
+    pos = jnp.arange(n, dtype=jnp.float32)
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_s[1:] != sorted_s[:-1]])
+    min_sorted = jax.lax.cummax(jnp.where(is_new, pos, 0.0)) + 1.0
+    return jnp.zeros(n).at[order].set(min_sorted)
+
+
 def filtered_rank_all(
     scores: jnp.ndarray,   # (B, n_ent) raw model scores
     filters: jnp.ndarray,  # (B, n_ent) 1.0 for known-true tails (all splits)
@@ -31,24 +66,11 @@ def filtered_rank_all(
 
     Returns (B, n_ent) float ranks; caller gathers at answer positions.
     """
-    n = scores.shape[1]
     s = scores - jnp.min(scores, axis=1, keepdims=True) + 1e-8
     sf = s * filters
-
-    asc = jnp.sort(s, axis=1)
-    ascf = jnp.sort(sf, axis=1)
-
-    def row(asc_r, ascf_r, s_r, sf_r):
-        hi = jnp.searchsorted(asc_r, s_r, side="right")
-        lo = jnp.searchsorted(asc_r, s_r, side="left")
-        cnt_gt = n - hi
-        cnt_eq = hi - lo
-        full_rank = cnt_gt + (cnt_eq + 1) / 2.0
-        hif = jnp.searchsorted(ascf_r, sf_r, side="right")
-        filter_rank = (n - hif) + 1
-        return full_rank - filter_rank + 1.0
-
-    return jax.vmap(row)(asc, ascf, s, sf)
+    full_rank = jax.vmap(_avg_rank_desc)(s)
+    filter_rank = jax.vmap(_min_rank_desc)(sf)
+    return full_rank - filter_rank + 1.0
 
 
 def raw_rank_metric_sums(
