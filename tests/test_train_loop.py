@@ -62,3 +62,21 @@ def test_eval_metrics_shape(tmp_path, rng):
     for k in ("mrr", "h1", "h3", "h10"):
         assert 0.0 <= m[k] <= 1.0
     assert m["h1"] <= m["h3"] <= m["h10"]
+
+
+def test_predictor_topk(tmp_path, rng):
+    from redgnn_tpu.serve import Predictor
+
+    kg = StaticKG.load(str(write_kg(tmp_path, rng)))
+    cfg = TrainConfig(hidden_dim=16, attn_dim=5, n_layer=2, dropout=0.0,
+                      n_batch=16, n_tbatch=8)
+    trainer = StaticTrainer(kg, cfg)
+    trainer.train_epoch(0)
+    pred = Predictor(trainer, split="test", top_k=5)
+    nq = min(10, len(kg.test))
+    heads = kg.test[:nq, 0]
+    rels = kg.test[:nq, 1]
+    scores, ents = pred.predict(heads, rels)
+    assert scores.shape == (nq, 5) and ents.shape == (nq, 5)
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)  # sorted desc
+    assert np.all((ents >= 0) & (ents < kg.n_ent))
