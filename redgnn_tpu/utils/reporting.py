@@ -29,6 +29,7 @@ class ExperimentLogger:
         os.makedirs(results_dir, exist_ok=True)
         self.results_dir = results_dir
         self.run_name = run_name
+        self.git_hash = self._git_hash()  # `extrapolation/utils.py:588-592`
         self.perf_path = os.path.join(results_dir, f"{run_name}_perf.txt")
         self.mem_path = os.path.join(results_dir, f"{run_name}_mem.txt")
         self.jsonl_path = os.path.join(results_dir, f"{run_name}_metrics.jsonl")
@@ -40,6 +41,19 @@ class ExperimentLogger:
             self.write_perf(json.dumps(cfg))
         if sqlite_path:
             self._open_db(sqlite_path, config)
+
+    @staticmethod
+    def _git_hash() -> str:
+        try:
+            import subprocess
+
+            return subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=5,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+        except Exception:
+            return ""
 
     # -- text + jsonl ---------------------------------------------------
     def write_perf(self, line: str) -> None:
