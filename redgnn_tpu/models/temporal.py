@@ -95,6 +95,7 @@ class TemporalModelConfig:
     time_key_base: Optional[int] = None  # composite (head,time) key stride
     n_frequencies: int = 48
     segment_impl: str = "xla"
+    remat: bool = True  # recompute per-edge math in backward (HBM savings)
     # ablations (`Temporal/interpolation/model_cuda_aba.py:14,189,353`)
     use_time: bool = True               # False => T_RED_GNN_wo_tau
     use_attention: bool = True          # False => T_RED_GNN_wo_Attn
@@ -129,9 +130,25 @@ class TRedGNN(nn.Module):
         node_keys = jnp.where(qmask, keys0, SENTINEL)
         hidden = jnp.zeros((b, d))
 
+        # ---- shared parameters, declared explicitly so the per-hop math
+        # can be a PURE function under jax.checkpoint (rematerialization:
+        # per-edge gathers/messages are recomputed in the backward pass
+        # instead of stored — essential for whole-timeline interpolation
+        # frontiers with millions of edge slots per hop) ----------------
         if cfg.time_embedding == "periodic":
-            time_embed = PeriodicTimeEmbedding(
-                d, cfg.n_frequencies, name="time_embed")
+            k = cfg.n_frequencies
+            t_freq = self.param(
+                "time_freq",
+                lambda key, shape: 0.01 * jax.random.truncated_normal(
+                    key, -3.0, 3.0, shape),
+                (k,))
+            t_w = self.param("time_w", _uniform_init(), (2 * k, d))
+            t_b = self.param("time_b", _uniform_init(), (d,))
+
+            def time_embed(x):
+                z = 2.0 * jnp.pi * x[:, None] * t_freq[None, :]
+                feats = jnp.concatenate([jnp.cos(z), jnp.sin(z)], -1)
+                return jax.nn.relu(feats @ t_w + t_b)
         else:
             # absolute per-timestamp table (`model_cuda_aba.py`, the
             # T_RED_GNN_W variant and `model_cuda.py:44,152`)
@@ -139,12 +156,12 @@ class TRedGNN(nn.Module):
                 "time_embed_abs", nn.initializers.xavier_uniform(),
                 (cfg.n_time or 1, d))
         if cfg.direction_transform == "linear":
-            past = nn.Dense(d, use_bias=False, kernel_init=_uniform_init(),
-                            name="past_linear")
-            now = nn.Dense(d, use_bias=False, kernel_init=_uniform_init(),
-                           name="now_linear")
-            future = nn.Dense(d, use_bias=False, kernel_init=_uniform_init(),
-                              name="future_linear")
+            past_w = self.param("past_linear", _uniform_init(), (d, d))
+            now_w = self.param("now_linear", _uniform_init(), (d, d))
+            future_w = self.param("future_linear", _uniform_init(), (d, d))
+            past = lambda x: x @ past_w
+            now = lambda x: x @ now_w
+            future = lambda x: x @ future_w
         else:  # learned additive biases (T_RED_GNN_W)
             past_b = self.param("past_bias", nn.initializers.zeros, (d,))
             now_b = self.param("now_bias", nn.initializers.zeros, (d,))
@@ -200,59 +217,72 @@ class TRedGNN(nn.Module):
                 f"rela_embed_{i}", nn.initializers.xavier_uniform(),
                 (cfg.n_rel_vocab, d),
             )
-            a1 = nn.Dense(cfg.attn_dim, use_bias=False,
-                          kernel_init=_uniform_init(), name=f"attn1_{i}")
-            a2 = nn.Dense(1, use_bias=False, kernel_init=_uniform_init(),
-                          name=f"attn2_{i}")
+            a1_k = self.param(f"attn1_{i}", _uniform_init(),
+                              (3 * d, cfg.attn_dim))
+            a2_k = self.param(f"attn2_{i}", _uniform_init(),
+                              (cfg.attn_dim, 1))
+            use_dropout = cfg.mode == "interpolation" and train \
+                and cfg.dropout > 0
+            drop_rng = self.make_rng("dropout") if use_dropout else None
+            node_cap_i = caps.node_caps[i + 1]
 
-            hs = hidden[fr.src]
-            hr = rela[fr.rel]
-            h_qr = rela[rels][fr.batch]
+            def hop_fn(hidden, rela, a1_k, a2_k, src, dst, rel, batch,
+                       edge_id, edge_valid):
+                hs = hidden[src]
+                hr = rela[rel]
+                h_qr = rela[rels][batch]
 
-            t_e = etime[fr.edge_id].astype(jnp.float32)
-            t_q = times[fr.batch].astype(jnp.float32)
-            if cfg.mode == "interpolation":
-                delta = t_e - t_q
-            else:
-                # Δ = τ_q − τ_edge ≥ 0; self-loops sit at the window floor
-                # (`model_cuda_new_embedding.py:170`)
-                delta = t_q - t_e
-                if cfg.window is not None:
-                    floor_delta = jnp.minimum(t_q, float(cfg.window))
-                    delta = jnp.where(fr.rel == cfg.idd_rel, floor_delta,
-                                      delta)
-
-            msg = hs + hr
-            if cfg.use_time:
-                if cfg.time_embedding == "periodic":
-                    msg = msg + time_embed(delta)
+                t_e = etime[edge_id].astype(jnp.float32)
+                t_q = times[batch].astype(jnp.float32)
+                if cfg.mode == "interpolation":
+                    delta = t_e - t_q
                 else:
-                    t_idx = jnp.clip(etime[fr.edge_id], 0,
-                                     (cfg.n_time or 1) - 1)
-                    msg = msg + abs_table[t_idx]
-            if cfg.mode == "interpolation":
-                transformed = jnp.where(
-                    (delta > 0)[:, None], future(msg),
-                    jnp.where((delta < 0)[:, None], past(msg), now(msg)),
-                )
-            else:
-                transformed = past(msg)
+                    # Δ = τ_q − τ_edge ≥ 0; self-loops sit at the window
+                    # floor (`model_cuda_new_embedding.py:170`)
+                    delta = t_q - t_e
+                    if cfg.window is not None:
+                        floor_delta = jnp.minimum(t_q, float(cfg.window))
+                        delta = jnp.where(rel == cfg.idd_rel, floor_delta,
+                                          delta)
 
-            if cfg.use_attention:
-                alpha = jax.nn.sigmoid(
-                    a2(jax.nn.relu(a1(jnp.concatenate([hs, hr, h_qr], -1))))
-                )
-                message = transformed * alpha
-            else:
-                message = transformed
-            message = jnp.where(fr.edge_valid[:, None], message, 0.0)
+                msg = hs + hr
+                if cfg.use_time:
+                    if cfg.time_embedding == "periodic":
+                        msg = msg + time_embed(delta)
+                    else:
+                        t_idx = jnp.clip(etime[edge_id], 0,
+                                         (cfg.n_time or 1) - 1)
+                        msg = msg + abs_table[t_idx]
+                if cfg.mode == "interpolation":
+                    transformed = jnp.where(
+                        (delta > 0)[:, None], future(msg),
+                        jnp.where((delta < 0)[:, None], past(msg), now(msg)),
+                    )
+                else:
+                    transformed = past(msg)
 
-            agg = segment_sum(message, fr.dst, caps.node_caps[i + 1],
-                              indices_are_sorted=True,
-                              impl=cfg.segment_impl)
-            if cfg.mode == "interpolation":
-                agg = nn.Dropout(cfg.dropout, deterministic=not train)(agg)
-            hidden = TEMPORAL_ACTS[cfg.act](agg)
+                if cfg.use_attention:
+                    pre = jnp.concatenate([hs, hr, h_qr], -1)
+                    alpha = jax.nn.sigmoid(
+                        jax.nn.relu(pre @ a1_k) @ a2_k)
+                    message = transformed * alpha
+                else:
+                    message = transformed
+                message = jnp.where(edge_valid[:, None], message, 0.0)
+
+                agg = segment_sum(message, dst, node_cap_i,
+                                  indices_are_sorted=True,
+                                  impl=cfg.segment_impl)
+                if use_dropout:
+                    keep = jax.random.bernoulli(
+                        drop_rng, 1.0 - cfg.dropout, agg.shape)
+                    agg = jnp.where(keep, agg / (1.0 - cfg.dropout), 0.0)
+                return TEMPORAL_ACTS[cfg.act](agg)
+
+            if cfg.remat:
+                hop_fn = jax.checkpoint(hop_fn)
+            hidden = hop_fn(hidden, rela, a1_k, a2_k, fr.src, fr.dst,
+                            fr.rel, fr.batch, fr.edge_id, fr.edge_valid)
             node_keys = fr.node_keys
 
             aux["edge_overflow"].append(fr.edge_overflow)
@@ -260,9 +290,9 @@ class TRedGNN(nn.Module):
             aux["num_nodes"].append(fr.num_nodes)
             aux["num_edges"].append(fr.num_edges)
 
-        classifier = nn.Dense(1, use_bias=True, kernel_init=_uniform_init(),
-                              bias_init=_uniform_init(), name="classifier")
-        scores = classifier(hidden)[:, 0]
+        cls_w = self.param("classifier_w", _uniform_init(), (d, 1))
+        cls_b = self.param("classifier_b", _uniform_init(), (1,))
+        scores = (hidden @ cls_w + cls_b)[:, 0]
 
         valid = node_keys != SENTINEL
         batch_idx = jnp.where(valid, node_keys // cfg.n_ent, b)

@@ -170,8 +170,9 @@ DATASET_CONFIGS = {
 }
 
 
-def dataset_config(task: str, dataset: str, **overrides) -> TrainConfig:
-    base = DATASET_CONFIGS.get(task, {}).get(dataset, TrainConfig())
+def dataset_config(task: str, dataset: str, **overrides):
+    default = TemporalTrainConfig() if task == "temporal" else TrainConfig()
+    base = DATASET_CONFIGS.get(task, {}).get(dataset, default)
     if overrides:
         base = replace(base, **overrides)
     return base

@@ -1,0 +1,53 @@
+"""CLI driver integration: end-to-end main() on tiny synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from redgnn_tpu.cli.train import main
+from tests.test_train_loop import write_kg
+from tests.test_temporal import write_temporal_dir
+
+
+def test_cli_transductive(tmp_path, rng, capsys):
+    data = write_kg(tmp_path / "kg", rng) if (tmp_path / "kg").mkdir() is None \
+        else None
+    results = tmp_path / "results"
+    main([
+        "--task", "transductive", "--data_path", str(tmp_path / "kg"),
+        "--epochs", "1", "--results_dir", str(results),
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+        "--set", "hidden_dim=16", "n_layer=2", "n_batch=16", "n_tbatch=16",
+        "dropout=0.0",
+    ])
+    out = capsys.readouterr().out
+    assert "BEST" in out
+    assert (results / "kg_perf.txt").exists()
+    assert (results / "kg_metrics.jsonl").exists()
+    # checkpoint written and restorable
+    ckpts = list((tmp_path / "ckpt").glob("*.msgpack"))
+    assert len(ckpts) == 1
+    main([
+        "--task", "transductive", "--data_path", str(tmp_path / "kg"),
+        "--results_dir", str(results), "--eval_only",
+        "--load_checkpoint", str(ckpts[0]),
+        "--set", "hidden_dim=16", "n_layer=2", "n_batch=16", "n_tbatch=16",
+        "dropout=0.0",
+    ])
+    out = capsys.readouterr().out
+    assert "restored checkpoint" in out and '"valid"' in out
+
+
+def test_cli_interpolation(tmp_path, rng, capsys):
+    (tmp_path / "tkg").mkdir()
+    write_temporal_dir(tmp_path / "tkg", rng)
+    main([
+        "--task", "interpolation", "--data_path", str(tmp_path / "tkg"),
+        "--epochs", "1", "--results_dir", str(tmp_path / "results"),
+        "--set", "hidden_dim=8", "attn_dim=5", "n_layer=2",
+        "batch_size=16", "eval_batch_size=16", "dropout=0.0",
+    ])
+    out = capsys.readouterr().out
+    assert "BEST" in out
