@@ -96,6 +96,8 @@ class TemporalModelConfig:
     n_frequencies: int = 48
     segment_impl: str = "xla"
     remat: bool = True  # recompute per-edge math in backward (HBM savings)
+    edge_dropout: float = 0.0  # random per-hop edge drop during training
+    # (the interpolation prototype's 50% drop, `RED-GNN/model.py:188-189`)
     # ablations (`Temporal/interpolation/model_cuda_aba.py:14,189,353`)
     use_time: bool = True               # False => T_RED_GNN_wo_tau
     use_attention: bool = True          # False => T_RED_GNN_wo_Attn
@@ -281,8 +283,14 @@ class TRedGNN(nn.Module):
 
             if cfg.remat:
                 hop_fn = jax.checkpoint(hop_fn)
+            edge_valid = fr.edge_valid
+            if train and cfg.edge_dropout > 0:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - cfg.edge_dropout,
+                    edge_valid.shape)
+                edge_valid = edge_valid & keep
             hidden = hop_fn(hidden, rela, a1_k, a2_k, fr.src, fr.dst,
-                            fr.rel, fr.batch, fr.edge_id, fr.edge_valid)
+                            fr.rel, fr.batch, fr.edge_id, edge_valid)
             node_keys = fr.node_keys
 
             aux["edge_overflow"].append(fr.edge_overflow)

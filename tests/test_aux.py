@@ -84,3 +84,20 @@ def test_asha_search():
 
 def math_inf_guard():
     return float("inf")
+
+
+def test_simple_trainer_learns(tmp_path):
+    import numpy as _np
+    from redgnn_tpu.graph.temporal import TemporalKG
+    from redgnn_tpu.train.simple_loop import SimplETrainer
+    from tests.test_temporal import write_temporal_dir
+
+    rng = _np.random.default_rng(5)
+    kg = TemporalKG.load_vocab_dir(str(write_temporal_dir(tmp_path, rng)))
+    tr = SimplETrainer(kg, hidden_dim=32, batch_size=64)
+    l0 = tr.train_epoch(0)
+    for e in range(1, 5):
+        l1 = tr.train_epoch(e)
+    assert l1 < l0
+    m = tr.evaluate("valid")
+    assert 0.0 <= m["mrr"] <= 1.0
