@@ -276,22 +276,38 @@ class StaticTrainer:
         qmask_all = np.ones(nb * b, bool)
         if pad:
             qmask_all[-pad:] = False
-        subs_all = jnp.asarray(padded[:, 0].reshape(nb, b), jnp.int32)
-        rels_all = jnp.asarray(padded[:, 1].reshape(nb, b), jnp.int32)
-        objs_all = jnp.asarray(padded[:, 2].reshape(nb, b), jnp.int32)
-        qm_all = jnp.asarray(qmask_all.reshape(nb, b))
+        subs_all = padded[:, 0].reshape(nb, b)
+        rels_all = padded[:, 1].reshape(nb, b)
+        objs_all = padded[:, 2].reshape(nb, b)
+        qm_all = qmask_all.reshape(nb, b)
 
         snap = (self.params, self.opt_state, self.rng)
         for attempt in range(3):
-            self.rng, epoch_rng = jax.random.split(self.rng)
-            params, opt_state, loss_sum, overflow = self._train_epoch_scan(
-                self.params, self.opt_state, kg.graph,
-                subs_all, rels_all, objs_all, qm_all, epoch_rng,
-                self.train_caps,
-            )
-            if not bool(overflow):
+            total_loss = 0.0
+            overflow_seen = False
+            # bounded-duration dispatches: one giant scan would run minutes
+            # on-device in a single execution, which the TPU worker (and
+            # the axon tunnel watchdog in particular) does not survive
+            c = cfg.scan_chunk
+            for start in range(0, nb, c):
+                sl = slice(start, min(start + c, nb))
+                self.rng, epoch_rng = jax.random.split(self.rng)
+                params, opt_state, loss_sum, overflow = (
+                    self._train_epoch_scan(
+                        self.params, self.opt_state, kg.graph,
+                        jnp.asarray(subs_all[sl], jnp.int32),
+                        jnp.asarray(rels_all[sl], jnp.int32),
+                        jnp.asarray(objs_all[sl], jnp.int32),
+                        jnp.asarray(qm_all[sl]), epoch_rng,
+                        self.train_caps,
+                    )
+                )
                 self.params, self.opt_state = params, opt_state
-                total_loss = float(loss_sum)
+                if bool(overflow):
+                    overflow_seen = True
+                    break
+                total_loss += float(loss_sum)
+            if not overflow_seen:
                 break
             # replay epoch from snapshot with exact capacities
             self.params, self.opt_state, self.rng = snap
@@ -335,18 +351,31 @@ class StaticTrainer:
         for i, f in enumerate(filt_rows):
             fil_idx[i, :len(f)] = f
 
-        stage = lambda x, dt=jnp.int32: jnp.asarray(
-            x.reshape((nb, b) + x.shape[1:]), dt)
+        subs_a = padded_q[:, 0].reshape(nb, b)
+        rels_a = padded_q[:, 1].reshape(nb, b)
+        ans_a = ans_idx.reshape(nb, b, max_a)
+        fil_a = fil_idx.reshape(nb, b, max_f)
+        qm_a = qmask.reshape(nb, b)
+        c = self.cfg.scan_chunk
         for attempt in range(3):
-            sums, overflow = eval_step(
-                self.params, spec.graph,
-                stage(padded_q[:, 0]), stage(padded_q[:, 1]),
-                stage(ans_idx), stage(fil_idx),
-                jnp.asarray(qmask.reshape(nb, b)),
-                self.eval_caps[split],
-            )
-            if not bool(overflow):
-                return combine_metric_sums([jax.device_get(sums)])
+            partials, overflow_seen = [], False
+            for start in range(0, nb, c):
+                sl = slice(start, min(start + c, nb))
+                sums, overflow = eval_step(
+                    self.params, spec.graph,
+                    jnp.asarray(subs_a[sl], jnp.int32),
+                    jnp.asarray(rels_a[sl], jnp.int32),
+                    jnp.asarray(ans_a[sl], jnp.int32),
+                    jnp.asarray(fil_a[sl], jnp.int32),
+                    jnp.asarray(qm_a[sl]),
+                    self.eval_caps[split],
+                )
+                if bool(overflow):
+                    overflow_seen = True
+                    break
+                partials.append(jax.device_get(sums))
+            if not overflow_seen:
+                return combine_metric_sums(partials)
             self.eval_caps[split] = self._recalibrate_exact(
                 self.eval_caps[split], spec.graph_np, queries, b,
                 n_ent=spec.n_ent,

@@ -308,24 +308,37 @@ class TemporalTrainer:
         qmask = np.ones(nb * b, bool)
         if pad:
             qmask[-pad:] = False
-        stage = lambda x: jnp.asarray(x.reshape(nb, b), jnp.int32)
-        excl_a = None
+        excl_np = None
         if rows is not None:
             # pad with an out-of-range slot so padded queries exclude nothing
-            rows_p = np.concatenate(
-                [rows, np.full(pad, len(self.kg.graph_quads), np.int64)])
-            excl_a = stage(rows_p)
-        xs = (stage(padded[:, 0]), stage(padded[:, 1]), stage(padded[:, 2]),
-              stage(padded[:, 3]), jnp.asarray(qmask.reshape(nb, b)))
+            excl_np = np.concatenate(
+                [rows, np.full(pad, len(self.kg.graph_quads), np.int64)]
+            ).reshape(nb, b)
+        cols = [padded[:, j].reshape(nb, b) for j in range(4)]
+        qm = qmask.reshape(nb, b)
 
         snap = (self.params, self.opt_state, self.rng)
         for attempt in range(3):
-            self.rng, epoch_rng = jax.random.split(self.rng)
-            params, opt_state, loss_sum, overflow = self._train_epoch_scan(
-                self.params, self.opt_state, *xs, excl_a, epoch_rng, caps)
-            if not bool(overflow):
+            total = 0.0
+            overflow_seen = False
+            # bounded-duration dispatches (axon watchdog; see loop.py)
+            for start in range(0, nb, cfg.scan_chunk):
+                sl = slice(start, min(start + cfg.scan_chunk, nb))
+                xs = tuple(jnp.asarray(c[sl], jnp.int32) for c in cols[:3]) \
+                    + (jnp.asarray(cols[3][sl], jnp.int32),
+                       jnp.asarray(qm[sl]))
+                excl_a = (jnp.asarray(excl_np[sl], jnp.int32)
+                          if excl_np is not None else None)
+                self.rng, epoch_rng = jax.random.split(self.rng)
+                params, opt_state, loss_sum, overflow = (
+                    self._train_epoch_scan(self.params, self.opt_state,
+                                           *xs, excl_a, epoch_rng, caps))
                 self.params, self.opt_state = params, opt_state
-                total = float(loss_sum)
+                if bool(overflow):
+                    overflow_seen = True
+                    break
+                total += float(loss_sum)
+            if not overflow_seen:
                 break
             self.params, self.opt_state, self.rng = snap
             self._recalibrate_exact("train", data, cfg.batch_size)
@@ -373,20 +386,29 @@ class TemporalTrainer:
                 caps = self.caps[f"eval_{split}"]
             raise RuntimeError("temporal eval caps failed to stabilize")
 
-        # interpolation: one scan dispatch over all staged batches
+        # interpolation: scan dispatches over staged batches, chunked to
+        # bound single-execution time
         nb = -(-len(data) // b)
         pad = nb * b - len(data)
         padded = np.concatenate([data, np.zeros((pad, 4), np.int64)])
         qmask = np.ones(nb * b, bool)
         if pad:
             qmask[-pad:] = False
-        stage = lambda x: jnp.asarray(x.reshape(nb, b), jnp.int32)
-        xs = (stage(padded[:, 0]), stage(padded[:, 1]), stage(padded[:, 2]),
-              stage(padded[:, 3]), jnp.asarray(qmask.reshape(nb, b)))
+        cols = [padded[:, j].reshape(nb, b) for j in range(4)]
+        qm = qmask.reshape(nb, b)
         for attempt in range(3):
-            sums, overflow = self._eval_scan(self.params, *xs, caps)
-            if not bool(overflow):
-                return self._combine([jax.device_get(sums)])
+            partials, overflow_seen = [], False
+            for start in range(0, nb, cfg.scan_chunk):
+                sl = slice(start, min(start + cfg.scan_chunk, nb))
+                xs = tuple(jnp.asarray(c[sl], jnp.int32) for c in cols) + (
+                    jnp.asarray(qm[sl]),)
+                sums, overflow = self._eval_scan(self.params, *xs, caps)
+                if bool(overflow):
+                    overflow_seen = True
+                    break
+                partials.append(jax.device_get(sums))
+            if not overflow_seen:
+                return self._combine(partials)
             self._recalibrate_exact(f"eval_{split}", data, b)
             caps = self.caps[f"eval_{split}"]
         raise RuntimeError("temporal eval caps failed to stabilize")

@@ -32,6 +32,7 @@ class TrainConfig:
     segment_impl: str = "xla"
     compute_dtype: str = "float32"  # "bfloat16" for bandwidth-bound graphs
     cap_headroom: float = 1.2
+    scan_chunk: int = 256  # max steps per device dispatch (watchdog bound)
 
 
 # `Static/transductive/train.py:46-111`
@@ -124,6 +125,7 @@ class TemporalTrainConfig:
     # TPU-specific
     segment_impl: str = "xla"
     cap_headroom: float = 1.2
+    scan_chunk: int = 64  # max steps per device dispatch (watchdog bound)
 
 
 _TEMPORAL = {
@@ -153,8 +155,9 @@ _TEMPORAL = {
     # `Temporal/extrapolation/main.py:111-155,202-209`
     "ICEWS14_forecasting": TemporalTrainConfig(
         mode="extrapolation", window=120, time_granularity=24,
-        batch_size=128, lr=1e-3, epochs=20, hidden_dim=30, attn_dim=30,
-        n_layer=3, dropout=0.1, act="leakyrelu", patience=3,
+        batch_size=128, eval_batch_size=128, lr=1e-3, epochs=20,
+        hidden_dim=30, attn_dim=30, n_layer=3, dropout=0.1,
+        act="leakyrelu", patience=3,
     ),
     "YAGO_forecasting": TemporalTrainConfig(
         mode="extrapolation", window=120, time_granularity=1,
