@@ -210,3 +210,38 @@ def test_extrapolation_trainer_smoke(tmp_path, rng):
         assert 0.0 <= m[k] <= 1.0 + 1e-6, (k, m[k])
     # filtered metrics can only improve on raw
     assert m["fil_mrr"] >= m["raw_mrr"] - 1e-9
+
+
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.path.isdir(
+        "/root/reference/Temporal/extrapolation/data/ICEWS14_forecasting"),
+    reason="reference dataset not available")
+def test_load_id_dir_extrapolation_protocol():
+    """Invariants of the extrapolation data protocol on real ICEWS14."""
+    kg = TemporalKG.load_id_dir(
+        "/root/reference/Temporal/extrapolation/data/ICEWS14_forecasting",
+        add_inverse=True, time_granularity=24,
+        graph_from_all_splits=True, warm_start_time=48)
+    # 230 raw relations -> 460 + selfloop
+    assert kg.n_rel == 461 and kg.idd_rel == 460
+    assert kg.n_ent == 7128
+    # graph = all splits doubled + selfloops
+    assert len(kg.graph_quads) == 2 * (63685 + 13823 + 13222) + 7128
+    # splits doubled and time-sorted
+    for name in ("train", "valid", "test"):
+        arr = kg.splits[name]
+        assert np.all(np.diff(arr[:, 3]) >= 0)
+    # warm start dropped the first two days of training queries
+    assert kg.splits["train"][:, 3].min() >= 2
+    # seen/unseen partition covers the test split
+    assert (len(kg.splits["test_seen"]) + len(kg.splits["test_unseen"])
+            == len(kg.splits["test"]))
+    # composite keys sorted; self-loop slots resolve
+    assert np.all(np.diff(kg.ekey_np.astype(np.int64)) >= 0)
+    rowptr, rel, tail = kg.graph_np
+    sl = kg.selfloop_slot_np
+    assert np.all(rel[sl[:100]] == kg.idd_rel)
