@@ -118,6 +118,7 @@ class TemporalTrainer:
         self._plateau_bad = 0
 
         self.caps: Dict[str, FrontierCaps] = {}
+        self._kgarrs = (kg.graph, kg.etime, kg.ekey, kg.selfloop_slot)
         self.t_train = 0.0
         self._np_rng = np.random.default_rng(cfg.seed)
         self.history: List[Dict[str, Any]] = []
@@ -134,9 +135,9 @@ class TemporalTrainer:
         self._eval_scan = jax.jit(self._eval_scan_impl,
                                   static_argnames=("caps",))
 
-    def _train_epoch_scan_impl(self, params, opt_state, subs_a, rels_a,
-                               objs_a, times_a, qmask_a, excl_a, rng,
-                               caps: FrontierCaps):
+    def _train_epoch_scan_impl(self, params, opt_state, kgarrs, subs_a,
+                               rels_a, objs_a, times_a, qmask_a, excl_a,
+                               rng, caps: FrontierCaps):
         """Whole epoch as one lax.scan (see loop.py) — one dispatch/epoch."""
         use_excl = excl_a is not None
 
@@ -149,8 +150,8 @@ class TemporalTrainer:
                 excl = None
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss, overflow = self._train_step_impl(
-                params, opt_state, subs, rels, objs, times, qmask, excl,
-                step_rng, caps)
+                params, opt_state, kgarrs, subs, rels, objs, times, qmask,
+                excl, step_rng, caps)
             return (params, opt_state, rng, loss_sum + loss,
                     ov | overflow), None
 
@@ -162,13 +163,14 @@ class TemporalTrainer:
             body, init, xs)
         return params, opt_state, loss_sum, ov
 
-    def _eval_scan_impl(self, params, subs_a, rels_a, objs_a, times_a,
-                        qmask_a, caps: FrontierCaps):
+    def _eval_scan_impl(self, params, kgarrs, subs_a, rels_a, objs_a,
+                        times_a, qmask_a, caps: FrontierCaps):
         """Interpolation-style raw eval over all batches in one dispatch."""
 
         def body(carry, batch):
             sums_acc, ov = carry
-            sums, overflow = self._eval_step_impl(params, *batch, caps)
+            sums, overflow = self._eval_step_impl(params, kgarrs, *batch,
+                                                  caps)
             return ({k: sums_acc[k] + v for k, v in sums.items()},
                     ov | overflow), None
 
@@ -181,22 +183,28 @@ class TemporalTrainer:
         return sums, ov
 
     # ------------------------------------------------------------------
-    def _apply(self, params, subs, rels, times, qmask, caps, exclude, train,
-               rng=None):
+    def _apply(self, params, kgarrs, subs, rels, times, qmask, caps,
+               exclude, train, rng=None):
+        # NOTE: graph arrays are threaded as jit ARGUMENTS, never read from
+        # self inside traced code — closure capture would embed them as
+        # compile-time constants in the HLO, which the remote-compile
+        # tunnel cannot digest (observed as a wedged first transfer).
+        graph, etime, ekey, selfloop_slot = kgarrs
         kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
         return self.model.apply(
-            {"params": params}, self.kg.graph, self.kg.etime,
+            {"params": params}, graph, etime,
             subs, rels, times, qmask, caps, exclude, train,
-            self.kg.ekey, self.kg.selfloop_slot, **kwargs,
+            ekey, selfloop_slot, **kwargs,
         )
 
-    def _train_step_impl(self, params, opt_state, subs, rels, objs, times,
-                         qmask, exclude, rng, caps: FrontierCaps):
+    def _train_step_impl(self, params, opt_state, kgarrs, subs, rels,
+                         objs, times, qmask, exclude, rng,
+                         caps: FrontierCaps):
         drop_rng, scrub_rng = jax.random.split(rng)
 
         def loss_fn(p):
-            scores, aux = self._apply(p, subs, rels, times, qmask, caps,
-                                      exclude, True, drop_rng)
+            scores, aux = self._apply(p, kgarrs, subs, rels, times, qmask,
+                                      caps, exclude, True, drop_rng)
             return nll_softmax_loss(scores, objs, qmask), aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -206,20 +214,20 @@ class TemporalTrainer:
         overflow = jnp.any(aux["edge_overflow"]) | jnp.any(aux["node_overflow"])
         return params, opt_state, loss, overflow
 
-    def _eval_step_impl(self, params, subs, rels, objs, times, qmask,
-                        caps: FrontierCaps):
-        scores, aux = self._apply(params, subs, rels, times, qmask, caps,
-                                  None, False)
+    def _eval_step_impl(self, params, kgarrs, subs, rels, objs, times,
+                        qmask, caps: FrontierCaps):
+        scores, aux = self._apply(params, kgarrs, subs, rels, times, qmask,
+                                  caps, None, False)
         sums = raw_rank_metric_sums(scores, objs, qmask)
         sums["loss_sum"] = nll_softmax_loss(scores, objs, qmask) * jnp.sum(
             qmask)
         overflow = jnp.any(aux["edge_overflow"]) | jnp.any(aux["node_overflow"])
         return sums, overflow
 
-    def _eval_step_ex_impl(self, params, subs, rels, objs, times, qmask,
-                           fil, fil_t, caps: FrontierCaps):
-        scores, aux = self._apply(params, subs, rels, times, qmask, caps,
-                                  None, False)
+    def _eval_step_ex_impl(self, params, kgarrs, subs, rels, objs, times,
+                           qmask, fil, fil_t, caps: FrontierCaps):
+        scores, aux = self._apply(params, kgarrs, subs, rels, times, qmask,
+                                  caps, None, False)
         b = subs.shape[0]
         keys = aux["frontier_keys"]
         from redgnn_tpu.ops.frontier import SENTINEL
@@ -332,7 +340,8 @@ class TemporalTrainer:
                 self.rng, epoch_rng = jax.random.split(self.rng)
                 params, opt_state, loss_sum, overflow = (
                     self._train_epoch_scan(self.params, self.opt_state,
-                                           *xs, excl_a, epoch_rng, caps))
+                                           self._kgarrs, *xs, excl_a,
+                                           epoch_rng, caps))
                 self.params, self.opt_state = params, opt_state
                 if bool(overflow):
                     overflow_seen = True
@@ -359,7 +368,7 @@ class TemporalTrainer:
                 partials, overflows = [], []
                 for batch, qmask, _ in self._batches(data, b, None):
                     args = [
-                        self.params,
+                        self.params, self._kgarrs,
                         jnp.asarray(batch[:, 0], jnp.int32),
                         jnp.asarray(batch[:, 1], jnp.int32),
                         jnp.asarray(batch[:, 2], jnp.int32),
@@ -402,7 +411,8 @@ class TemporalTrainer:
                 sl = slice(start, min(start + cfg.scan_chunk, nb))
                 xs = tuple(jnp.asarray(c[sl], jnp.int32) for c in cols) + (
                     jnp.asarray(qm[sl]),)
-                sums, overflow = self._eval_scan(self.params, *xs, caps)
+                sums, overflow = self._eval_scan(self.params, self._kgarrs,
+                                                 *xs, caps)
                 if bool(overflow):
                     overflow_seen = True
                     break

@@ -47,23 +47,28 @@ class XErteTrainer:
         self.tx = tx
         self.opt_state = tx.init(self.params)
         self._np_rng = np.random.default_rng(seed)
+        self._kgarrs = (kg.graph.rowptr, kg.graph.rel, kg.graph.tail,
+                        kg.ekey)
         self._step_counter = 0
         self.history: List[Dict[str, Any]] = []
 
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
-    def _apply(self, params, subs, rels, times, qmask, seed):
+    def _apply(self, params, kgarrs, subs, rels, times, qmask, seed):
+        # graph arrays travel as jit arguments (closure capture would embed
+        # them as HLO constants; see temporal_loop._apply)
+        rowptr, rel, tail, ekey = kgarrs
         return self.model.apply(
-            {"params": params}, self.kg.graph.rowptr, self.kg.graph.rel,
-            self.kg.graph.tail, self.kg.ekey, self.kg.time_key_base,
-            subs, rels, times, qmask, seed,
+            {"params": params}, rowptr, rel, tail, ekey,
+            self.kg.time_key_base, subs, rels, times, qmask, seed,
         )
 
-    def _train_step_impl(self, params, opt_state, subs, rels, objs, times,
-                         qmask, seed):
+    def _train_step_impl(self, params, opt_state, kgarrs, subs, rels, objs,
+                         times, qmask, seed):
         def loss_fn(p):
-            mass, aux = self._apply(p, subs, rels, times, qmask, seed)
+            mass, aux = self._apply(p, kgarrs, subs, rels, times, qmask,
+                                    seed)
             return bce_loss(mass, objs, qmask), aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -71,9 +76,10 @@ class XErteTrainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def _eval_step_impl(self, params, subs, rels, objs, times, qmask,
-                        fil, fil_t, seed):
-        mass, aux = self._apply(params, subs, rels, times, qmask, seed)
+    def _eval_step_impl(self, params, kgarrs, subs, rels, objs, times,
+                        qmask, fil, fil_t, seed):
+        mass, aux = self._apply(params, kgarrs, subs, rels, times, qmask,
+                                seed)
         sums = frontier_rank_metric_sums(mass, aux["visited"], objs, qmask,
                                          fil, fil_t)
         sums["loss_sum"] = bce_loss(mass, objs, qmask) * jnp.sum(qmask)
@@ -97,7 +103,7 @@ class XErteTrainer:
         for batch, qmask in self._batches(data, self.batch_size):
             self._step_counter += 1
             self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state,
+                self.params, self.opt_state, self._kgarrs,
                 jnp.asarray(batch[:, 0], jnp.int32),
                 jnp.asarray(batch[:, 1], jnp.int32),
                 jnp.asarray(batch[:, 2], jnp.int32),
@@ -129,7 +135,7 @@ class XErteTrainer:
                 fil_t[i, [e for e in spt2o.get((h, r, tau), ())
                           if e != t]] = False
             partials.append(self._eval_step(
-                self.params,
+                self.params, self._kgarrs,
                 jnp.asarray(batch[:, 0], jnp.int32),
                 jnp.asarray(batch[:, 1], jnp.int32),
                 jnp.asarray(batch[:, 2], jnp.int32),
