@@ -101,3 +101,32 @@ def test_simple_trainer_learns(tmp_path):
     assert l1 < l0
     m = tr.evaluate("valid")
     assert 0.0 <= m["mrr"] <= 1.0
+
+
+def test_plateau_scheduler_reduces_lr(tmp_path):
+    import numpy as _np
+    from redgnn_tpu.graph.temporal import TemporalKG
+    from redgnn_tpu.train.temporal_loop import TemporalTrainer
+    from redgnn_tpu.utils.config import TemporalTrainConfig
+    from tests.test_temporal import write_temporal_dir
+
+    rng = _np.random.default_rng(7)
+    kg = TemporalKG.load_vocab_dir(str(write_temporal_dir(tmp_path, rng)))
+    cfg = TemporalTrainConfig(hidden_dim=8, attn_dim=4, n_layer=2,
+                              batch_size=16, patience=1, lr=0.01,
+                              plateau_factor=0.5)
+    tr = TemporalTrainer(kg, cfg)
+    # torch semantics: lr drops after patience+1 consecutive non-improvements
+    tr.plateau_step(1.0)   # best=1.0
+    tr.plateau_step(1.1)   # bad=1
+    assert tr._lr == 0.01
+    tr.plateau_step(1.2)   # bad=2 > patience -> reduce
+    assert abs(tr._lr - 0.005) < 1e-12
+    # optimizer state carries the new lr
+    state = tr.opt_state
+    if hasattr(state, "inner_opt_state"):
+        state = state.inner_opt_state
+    assert abs(float(state.hyperparams["learning_rate"]) - 0.005) < 1e-9
+    # improvement resets the counter
+    tr.plateau_step(0.5)
+    assert tr._plateau_bad == 0
