@@ -54,6 +54,9 @@ def main(argv=None):
     p.add_argument("--results_dir", default="results")
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--load_checkpoint", default=None)
+    p.add_argument("--resume_latest", action="store_true",
+                   help="resume from <ckpt_dir>/latest.msgpack if present "
+                        "(elastic recovery after a TPU worker crash)")
     p.add_argument("--eval_only", action="store_true")
     p.add_argument("--sqlite", default=None,
                    help="path to a sqlite experiment db")
@@ -113,9 +116,19 @@ def main(argv=None):
                               sqlite_path=args.sqlite)
     print(json.dumps(dataclasses.asdict(cfg)))
 
+    start_epoch = 0
     if args.load_checkpoint:
         epoch = trainer.restore(args.load_checkpoint)
         print(f"restored checkpoint from epoch {epoch}")
+    elif args.resume_latest and args.ckpt_dir:
+        from redgnn_tpu.utils.checkpoint import load_latest
+
+        latest = load_latest(args.ckpt_dir, trainer.state())
+        if latest is not None:
+            state, start_epoch, _ = latest
+            trainer.params = state["params"]
+            trainer.opt_state = state["opt_state"]
+            print(f"resuming from latest checkpoint at epoch {start_epoch}")
 
     if args.eval_only:
         vm = trainer.evaluate("valid")
@@ -125,7 +138,7 @@ def main(argv=None):
 
     with PeakRSSMonitor() as mon:
         best = trainer.fit(epochs=args.epochs, logger=logger,
-                           ckpt_dir=args.ckpt_dir)
+                           ckpt_dir=args.ckpt_dir, start_epoch=start_epoch)
     print(write_memory_report(logger.mem_path, "run", mon.peak_rss_bytes))
     logger.write_perf("BEST " + json.dumps(best))
     print("BEST", json.dumps(best))

@@ -401,12 +401,15 @@ class StaticTrainer:
 
     def fit(self, epochs: Optional[int] = None, log=print,
             eval_every: int = 1, logger=None,
-            ckpt_dir: Optional[str] = None) -> Dict[str, Any]:
+            ckpt_dir: Optional[str] = None,
+            start_epoch: int = 0) -> Dict[str, Any]:
         """Full driver: train, eval valid+test, keep best-valid epoch,
         re-split the graph — `train.py:119-131` + `base_model.py:81-82`."""
+        from redgnn_tpu.utils.checkpoint import save_latest
+
         epochs = epochs or self.cfg.epochs
         best = {"valid_mrr": -1.0}
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             loss = self.train_epoch(epoch)
             row: Dict[str, Any] = {"epoch": epoch, "loss": loss}
             if (epoch + 1) % eval_every == 0:
@@ -432,5 +435,8 @@ class StaticTrainer:
                     f"H@1:{tm['h1']:.4f} H@10:{tm['h10']:.4f}"
                 )
             self.history.append(row)
+            if ckpt_dir:
+                save_latest(ckpt_dir, self.state(), epoch + 1,
+                            row.get("valid_mrr", -1.0))
             self.kg.resplit(self._np_rng)
         return best

@@ -490,10 +490,13 @@ class TemporalTrainer:
         return epoch
 
     def fit(self, epochs: Optional[int] = None, log=print, logger=None,
-            ckpt_dir: Optional[str] = None) -> Dict[str, Any]:
+            ckpt_dir: Optional[str] = None,
+            start_epoch: int = 0) -> Dict[str, Any]:
+        from redgnn_tpu.utils.checkpoint import save_latest
+
         epochs = epochs or self.cfg.epochs
         best: Dict[str, Any] = {"valid_h1": -1.0}
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             loss = self.train_epoch(epoch)
             vm = self.evaluate("valid")
             self.plateau_step(vm["loss"])
@@ -510,6 +513,8 @@ class TemporalTrainer:
                 if ckpt_dir:
                     self.save(ckpt_dir, epoch, vm["h1"])
             self.history.append(row)
+            if ckpt_dir:
+                save_latest(ckpt_dir, self.state(), epoch + 1, vm["h1"])
             log(f"epoch {epoch} loss {loss:.3f} valid MRR {vm['mrr']:.4f} "
                 f"H@1 {vm['h1']:.4f} H@10 {vm['h10']:.4f} lr {self._lr:.2e}")
         return best

@@ -42,7 +42,8 @@ def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], epoch: int,
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(state)))
     ckpts = sorted(
-        glob.glob(os.path.join(ckpt_dir, "*.msgpack")),
+        (p for p in glob.glob(os.path.join(ckpt_dir, "*.msgpack"))
+         if os.path.basename(p) != "latest.msgpack"),
         key=lambda p: float(os.path.basename(p).split(".msgpack")[0]
                             .rsplit(".", 1)[0]),
         reverse=True,
@@ -67,8 +68,32 @@ def load_checkpoint(path: str, template: Dict[str, Any]
     return state, int(meta[0]), float(meta[1])
 
 
+def save_latest(ckpt_dir: str, state: Dict[str, Any], epoch: int,
+                metric: float) -> str:
+    """Overwrite `latest.msgpack` — the elastic-recovery anchor: written
+    every epoch so a crashed run (the tunneled TPU worker dies under
+    sustained load) resumes from the last completed epoch."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state = dict(state, _meta=np.array([epoch, metric], np.float64))
+    tmp = os.path.join(ckpt_dir, ".latest.tmp")
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+    path = os.path.join(ckpt_dir, "latest.msgpack")
+    os.replace(tmp, path)
+    return path
+
+
+def load_latest(ckpt_dir: str, template: Dict[str, Any]
+                ) -> Optional[Tuple[Dict[str, Any], int, float]]:
+    path = os.path.join(ckpt_dir, "latest.msgpack")
+    if not os.path.exists(path):
+        return None
+    return load_checkpoint(path, template)
+
+
 def best_checkpoint(ckpt_dir: str) -> Optional[str]:
-    ckpts = glob.glob(os.path.join(ckpt_dir, "*.msgpack"))
+    ckpts = [p for p in glob.glob(os.path.join(ckpt_dir, "*.msgpack"))
+             if os.path.basename(p) != "latest.msgpack"]
     if not ckpts:
         return None
     return max(ckpts, key=lambda p: float(

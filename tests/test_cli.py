@@ -26,9 +26,11 @@ def test_cli_transductive(tmp_path, rng, capsys):
     assert "BEST" in out
     assert (results / "kg_perf.txt").exists()
     assert (results / "kg_metrics.jsonl").exists()
-    # checkpoint written and restorable
-    ckpts = list((tmp_path / "ckpt").glob("*.msgpack"))
-    assert len(ckpts) == 1
+    # best + latest checkpoints written; best restorable
+    all_ckpts = {p.name for p in (tmp_path / "ckpt").glob("*.msgpack")}
+    assert "latest.msgpack" in all_ckpts and len(all_ckpts) == 2
+    ckpts = [p for p in (tmp_path / "ckpt").glob("*.msgpack")
+             if p.name != "latest.msgpack"]
     main([
         "--task", "transductive", "--data_path", str(tmp_path / "kg"),
         "--results_dir", str(results), "--eval_only",
