@@ -32,12 +32,27 @@ PINNED_BASELINE_EDGES_PER_S = 2.893e6
 DATA_DIR = "/root/reference/Static/transductive/data/family"
 
 
+def wait_for_device(max_wait_s: float = 900.0) -> None:
+    """The tunneled TPU worker takes ~15-20 min to heal after a crash;
+    poll with a trivial computation before committing to the benchmark."""
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            jnp.ones(2).sum().block_until_ready()
+            return
+        except Exception:
+            if time.time() > deadline:
+                raise
+            time.sleep(30)
+
+
 def main():
     from redgnn_tpu.graph.calibrate import simulate_hops
     from redgnn_tpu.graph.kg import StaticKG
     from redgnn_tpu.train.loop import StaticTrainer
     from redgnn_tpu.utils.config import dataset_config
 
+    wait_for_device()
     kg = StaticKG.load(DATA_DIR)
     cfg = dataset_config("static_transductive", "family", cap_headroom=1.35)
     trainer = StaticTrainer(kg, cfg)
