@@ -130,3 +130,30 @@ def test_plateau_scheduler_reduces_lr(tmp_path):
     # improvement resets the counter
     tr.plateau_step(0.5)
     assert tr._plateau_bad == 0
+
+
+def test_viz_outputs(tmp_path):
+    import json as _json
+    import numpy as _np
+    from redgnn_tpu.utils.viz import (
+        collect_attention_stats,
+        plot_attention_heatmap,
+        plot_learning_curves,
+    )
+
+    jl = tmp_path / "m.jsonl"
+    with open(jl, "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"step": i, "valid_mrr": 0.1 * i}) + "\n")
+    out = plot_learning_curves({"run": str(jl)},
+                               out_path=str(tmp_path / "curve.png"))
+    assert (tmp_path / "curve.png").stat().st_size > 0
+
+    rng = _np.random.default_rng(0)
+    acc = collect_attention_stats(
+        rng.random(50), rng.integers(0, 4, 50), rng.integers(0, 4, 50),
+        rng.random(50) > 0.1, 4)
+    assert acc.shape == (4, 4, 2)
+    mean = _np.where(acc[:, :, 1] > 0, acc[:, :, 0] / _np.maximum(acc[:, :, 1], 1), 0)
+    out2 = plot_attention_heatmap(mean, out_path=str(tmp_path / "attn.png"))
+    assert (tmp_path / "attn.png").stat().st_size > 0
