@@ -286,11 +286,24 @@ class TemporalKG:
         self.etime_np = time
         self.ekey_np = ekey
         self.selfloop_slot_np = selfloop_slot
+
+        # (n_ent, key_base+1) offset table: time_rowptr[e, t] = first CSR
+        # slot of entity e with edge time >= t. Turns the per-hop window
+        # search (two vectorized binary searches — the slowest primitive
+        # on this TPU) into two gathers. ~n_ent * n_time * 4B of HBM.
+        t_grid = np.arange(self.time_key_base + 1, dtype=np.int64)
+        queries = (np.arange(self.n_ent, dtype=np.int64)[:, None]
+                   * self.time_key_base + t_grid[None, :])
+        self.time_rowptr_np = np.searchsorted(
+            ekey, queries.reshape(-1)).astype(np.int32).reshape(
+                self.n_ent, self.time_key_base + 1)
+
         self.graph = DeviceGraph(jnp.asarray(rowptr), jnp.asarray(rel),
                                  jnp.asarray(tail))
         self.etime = jnp.asarray(time)
         self.ekey = jnp.asarray(ekey)
         self.selfloop_slot = jnp.asarray(selfloop_slot)
+        self.time_rowptr = jnp.asarray(self.time_rowptr_np)
 
     def exclusion_slots(self, example_rows: np.ndarray) -> np.ndarray:
         """CSR slots of the given original graph rows (leave-one-out)."""

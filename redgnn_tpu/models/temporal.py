@@ -123,6 +123,7 @@ class TRedGNN(nn.Module):
         train: bool = False,
         ekey: Optional[jnp.ndarray] = None,          # (n_edges,) head*K+time
         selfloop_slot: Optional[jnp.ndarray] = None,  # (n_ent,)
+        time_rowptr: Optional[jnp.ndarray] = None,   # (n_ent, K+1) offsets
     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         cfg = self.cfg
         b = subs.shape[0]
@@ -196,9 +197,17 @@ class TRedGNN(nn.Module):
                 ent = jnp.where(valid_node, node_keys % cfg.n_ent, 0)
                 t_q = times[jnp.where(valid_node, node_keys // cfg.n_ent, 0)]
                 lo = jnp.maximum(t_q - cfg.window, 0)
-                base = ent * cfg.time_key_base
-                w_start = jnp.searchsorted(ekey, base + lo).astype(jnp.int32)
-                w_end = jnp.searchsorted(ekey, base + t_q).astype(jnp.int32)
+                if time_rowptr is not None:
+                    # two gathers beat two vectorized binary searches by an
+                    # order of magnitude on TPU (see CLAUDE.md perf notes)
+                    w_start = time_rowptr[ent, lo]
+                    w_end = time_rowptr[ent, t_q]
+                else:
+                    base = ent * cfg.time_key_base
+                    w_start = jnp.searchsorted(
+                        ekey, base + lo).astype(jnp.int32)
+                    w_end = jnp.searchsorted(
+                        ekey, base + t_q).astype(jnp.int32)
                 deg = jnp.where(valid_node, w_end - w_start, 0)
                 fr = expand_frontier_ranges(
                     graph.rel, graph.tail, cfg.n_ent, node_keys,

@@ -118,7 +118,8 @@ class TemporalTrainer:
         self._plateau_bad = 0
 
         self.caps: Dict[str, FrontierCaps] = {}
-        self._kgarrs = (kg.graph, kg.etime, kg.ekey, kg.selfloop_slot)
+        self._kgarrs = (kg.graph, kg.etime, kg.ekey, kg.selfloop_slot,
+                        kg.time_rowptr)
         self.t_train = 0.0
         self._np_rng = np.random.default_rng(cfg.seed)
         self.history: List[Dict[str, Any]] = []
@@ -189,12 +190,12 @@ class TemporalTrainer:
         # self inside traced code — closure capture would embed them as
         # compile-time constants in the HLO, which the remote-compile
         # tunnel cannot digest (observed as a wedged first transfer).
-        graph, etime, ekey, selfloop_slot = kgarrs
+        graph, etime, ekey, selfloop_slot, time_rowptr = kgarrs
         kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
         return self.model.apply(
             {"params": params}, graph, etime,
             subs, rels, times, qmask, caps, exclude, train,
-            ekey, selfloop_slot, **kwargs,
+            ekey, selfloop_slot, time_rowptr, **kwargs,
         )
 
     def _train_step_impl(self, params, opt_state, kgarrs, subs, rels,
