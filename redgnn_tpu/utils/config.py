@@ -125,7 +125,8 @@ class TemporalTrainConfig:
     # TPU-specific
     segment_impl: str = "xla"
     cap_headroom: float = 1.2
-    scan_chunk: int = 64  # max steps per device dispatch (watchdog bound)
+    scan_chunk: int = 16  # max steps per device dispatch; the tunneled
+    # worker dies when a single execution runs much past ~1 minute
 
 
 _TEMPORAL = {
