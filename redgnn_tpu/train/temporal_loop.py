@@ -118,6 +118,7 @@ class TemporalTrainer:
         self._plateau_bad = 0
 
         self.caps: Dict[str, FrontierCaps] = {}
+        self.ckpt_dir: Optional[str] = None  # set by fit() for mid-epoch saves
         self._kgarrs = (kg.graph, kg.etime, kg.ekey, kg.selfloop_slot,
                         kg.time_rowptr)
         self.t_train = 0.0
@@ -348,6 +349,13 @@ class TemporalTrainer:
                     overflow_seen = True
                     break
                 total += float(loss_sum)
+                # intra-epoch progress anchor: the tunneled worker can die
+                # mid-epoch; resuming replays this epoch with the already-
+                # progressed weights rather than losing them
+                if self.ckpt_dir and (start // cfg.scan_chunk) % 8 == 7:
+                    from redgnn_tpu.utils.checkpoint import save_latest
+
+                    save_latest(self.ckpt_dir, self.state(), epoch, -1.0)
             if not overflow_seen:
                 break
             self.params, self.opt_state, self.rng = snap
@@ -496,6 +504,7 @@ class TemporalTrainer:
         from redgnn_tpu.utils.checkpoint import save_latest
 
         epochs = epochs or self.cfg.epochs
+        self.ckpt_dir = ckpt_dir
         best: Dict[str, Any] = {"valid_h1": -1.0}
         for epoch in range(start_epoch, epochs):
             loss = self.train_epoch(epoch)
