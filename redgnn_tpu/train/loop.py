@@ -19,7 +19,6 @@ geometrically on the host, and the step recompiles at most O(log V) times.
 
 from __future__ import annotations
 
-import functools
 import time
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
