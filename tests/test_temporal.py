@@ -245,3 +245,14 @@ def test_load_id_dir_extrapolation_protocol():
     rowptr, rel, tail = kg.graph_np
     sl = kg.selfloop_slot_np
     assert np.all(rel[sl[:100]] == kg.idd_rel)
+
+
+def test_time_rowptr_equals_searchsorted(tmp_path, rng):
+    kg = _make_kg(tmp_path, rng)
+    # gather table must agree with binary search for every (ent, t)
+    K = kg.time_key_base
+    ents = rng.integers(0, kg.n_ent, 200)
+    ts = rng.integers(0, K + 1, 200)
+    want = np.searchsorted(kg.ekey_np, ents.astype(np.int64) * K + ts)
+    got = kg.time_rowptr_np[ents, ts]
+    np.testing.assert_array_equal(got, want)
