@@ -96,6 +96,7 @@ class TemporalModelConfig:
     n_frequencies: int = 48
     segment_impl: str = "xla"
     remat: bool = True  # recompute per-edge math in backward (HBM savings)
+    dedup_impl: str = "bitmap"  # bitmap avoids multi-M-row device sorts
     edge_dropout: float = 0.0  # random per-hop edge drop during training
     # (the interpolation prototype's 50% drop, `RED-GNN/model.py:188-189`)
     # ablations (`Temporal/interpolation/model_cuda_aba.py:14,189,353`)
@@ -216,6 +217,8 @@ class TRedGNN(nn.Module):
                     node_cap=caps.node_caps[i + 1],
                     extra_edge_slot=selfloop_slot[ent],
                     edge_mask_fn=edge_mask_fn,
+                    dedup_impl=cfg.dedup_impl,
+                    key_space=b * cfg.n_ent,
                 )
             else:
                 fr = expand_frontier(
@@ -223,6 +226,8 @@ class TRedGNN(nn.Module):
                     edge_cap=caps.edge_caps[i],
                     node_cap=caps.node_caps[i + 1],
                     edge_mask_fn=edge_mask_fn,
+                    dedup_impl=cfg.dedup_impl,
+                    key_space=b * cfg.n_ent,
                 )
             rela = self.param(
                 f"rela_embed_{i}", nn.initializers.xavier_uniform(),
@@ -282,7 +287,7 @@ class TRedGNN(nn.Module):
                 message = jnp.where(edge_valid[:, None], message, 0.0)
 
                 agg = segment_sum(message, dst, node_cap_i,
-                                  indices_are_sorted=True,
+                                  indices_are_sorted=cfg.dedup_impl == "sort",
                                   impl=cfg.segment_impl)
                 if use_dropout:
                     keep = jax.random.bernoulli(

@@ -66,6 +66,8 @@ def expand_frontier(
     edge_cap: int,
     node_cap: int,
     edge_mask_fn=None,
+    dedup_impl: str = "sort",
+    key_space: int | None = None,
 ) -> Frontier:
     """Expand one hop: gather all edges whose head is in the frontier.
 
@@ -92,6 +94,7 @@ def expand_frontier(
     return expand_frontier_ranges(
         erel, etail, n_ent, node_keys, row_start, deg, edge_cap, node_cap,
         extra_edge_slot=None, edge_mask_fn=edge_mask_fn,
+        dedup_impl=dedup_impl, key_space=key_space,
     )
 
 
@@ -106,6 +109,8 @@ def expand_frontier_ranges(
     node_cap: int,
     extra_edge_slot: jnp.ndarray | None = None,  # (prev_cap,) one extra edge
     edge_mask_fn=None,
+    dedup_impl: str = "sort",
+    key_space: int | None = None,  # B * n_ent, required for 'bitmap'
 ) -> Frontier:
     """Core expansion over per-node edge ranges.
 
@@ -117,6 +122,16 @@ def expand_frontier_ranges(
     appends one extra out-of-range edge per node — the always-included
     self-loop of the windowed temporal graph
     (`Temporal/extrapolation/model_cuda_new_embedding.py:172-176`).
+
+    ``dedup_impl`` selects the node-compaction scheme:
+      * 'sort'   — argsort + adjacent-compare over edge keys; edges come
+        out SORTED BY DESTINATION (enables in-order segment sums). Cost
+        O(E log E).
+      * 'bitmap' — presence bitmap + prefix sum over the (batch x entity)
+        key space; edges stay in expansion order (unsorted dst). Cost
+        O(B*n_ent + E) — both faster and lighter than the sort whenever
+        the key space is comparable to the edge count, and it avoids the
+        multi-million-row device sort entirely.
     """
     prev_cap = node_keys.shape[0]
     valid_node = node_keys != SENTINEL
@@ -157,6 +172,37 @@ def expand_frontier_ranges(
     if edge_mask_fn is not None:
         edge_valid = edge_valid & edge_mask_fn(edge_id, batch_e, rel_e)
     tail_key = jnp.where(edge_valid, batch_e * n_ent + tail_e, SENTINEL)
+
+    if dedup_impl == "bitmap":
+        assert key_space is not None
+        present = jnp.zeros((key_space,), bool).at[tail_key].set(
+            True, mode="drop")
+        prefix = jnp.cumsum(present.astype(jnp.int32))
+        num_unique_valid = prefix[-1]
+        node_overflow = num_unique_valid > node_cap
+        uid = prefix[jnp.minimum(tail_key, key_space - 1)] - 1
+        dst = jnp.where(edge_valid,
+                        jnp.minimum(uid, node_cap - 1), node_cap - 1)
+        all_keys = jax.lax.broadcasted_iota(jnp.int32, (key_space, 1), 0)[:, 0]
+        new_keys = (
+            jnp.full((node_cap,), SENTINEL, dtype=jnp.int32)
+            .at[jnp.where(present, prefix - 1, node_cap)]
+            .set(all_keys, mode="drop")
+        )
+        edge_valid_b = edge_valid & (uid < node_cap)
+        return Frontier(
+            node_keys=new_keys,
+            num_nodes=num_unique_valid.astype(jnp.int32),
+            src=src_c,
+            dst=dst.astype(jnp.int32),
+            rel=jnp.where(edge_valid_b, rel_e, 0),
+            batch=jnp.where(edge_valid_b, batch_e, 0),
+            edge_id=jnp.where(edge_valid_b, edge_id, 0),
+            edge_valid=edge_valid_b,
+            num_edges=total_edges.astype(jnp.int32),
+            edge_overflow=total_edges > edge_cap,
+            node_overflow=node_overflow,
+        )
 
     # Deduplicate destination keys: sort + adjacent-compare. Stable sort keeps
     # a deterministic edge order; pads (SENTINEL) land at the end.
