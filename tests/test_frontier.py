@@ -128,3 +128,37 @@ def test_expand_in_jit(rng):
     fr = f(jnp.asarray(rowptr), jnp.asarray(rel), jnp.asarray(tail),
            jnp.asarray(keys))
     assert fr.node_keys.shape == (128,)
+
+
+def test_bitmap_dedup_matches_sort(rng):
+    """Both dedup schemes must produce the same node set and per-node
+    aggregation result (edge order differs by design)."""
+    n_ent, n_rel = 30, 5
+    triples = random_graph(rng, n_ent=n_ent, n_rel=n_rel)
+    rowptr, rel, tail = build_csr(triples, n_ent)
+    b = 4
+    keys = np.full(8, np.iinfo(np.int32).max, np.int32)
+    keys[:b] = [i * n_ent + h for i, h in
+                enumerate(rng.integers(0, n_ent, b))]
+
+    args = (jnp.asarray(rowptr), jnp.asarray(rel), jnp.asarray(tail),
+            n_ent, jnp.asarray(keys), 1024, 256)
+    fr_s = expand_frontier(*args, dedup_impl="sort")
+    fr_b = expand_frontier(*args, dedup_impl="bitmap", key_space=b * n_ent)
+
+    np.testing.assert_array_equal(np.asarray(fr_s.node_keys),
+                                  np.asarray(fr_b.node_keys))
+    assert int(fr_s.num_nodes) == int(fr_b.num_nodes)
+    assert int(fr_s.num_edges) == int(fr_b.num_edges)
+
+    # identical segment sums of an arbitrary per-edge payload
+    import jax
+
+    def agg(fr):
+        payload = jnp.where(
+            fr.edge_valid,
+            (fr.rel * 31 + fr.batch * 7 + 1).astype(jnp.float32), 0.0)
+        return jax.ops.segment_sum(payload, fr.dst, num_segments=256)
+
+    np.testing.assert_allclose(np.asarray(agg(fr_s)), np.asarray(agg(fr_b)),
+                               rtol=1e-6)
