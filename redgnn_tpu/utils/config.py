@@ -154,11 +154,14 @@ _TEMPORAL = {
         hidden_dim=20, attn_dim=30, n_layer=4, dropout=0.1, act="leakyrelu",
     ),
     # `Temporal/extrapolation/main.py:111-155,202-209`
+    # reference effective batch 128 (`main.py:112`), realized here as
+    # bs16 x 8 accumulation steps: per-dispatch program footprint then
+    # matches the profile proven stable for hours on this TPU worker
     "ICEWS14_forecasting": TemporalTrainConfig(
         mode="extrapolation", window=120, time_granularity=24,
-        batch_size=128, eval_batch_size=128, lr=1e-3, epochs=20,
-        hidden_dim=30, attn_dim=30, n_layer=3, dropout=0.1,
-        act="leakyrelu", patience=3,
+        batch_size=16, grad_accum_steps=8, eval_batch_size=32,
+        lr=1e-3, epochs=20, hidden_dim=30, attn_dim=30, n_layer=3,
+        dropout=0.1, act="leakyrelu", patience=3, scan_chunk=64,
     ),
     "YAGO_forecasting": TemporalTrainConfig(
         mode="extrapolation", window=120, time_granularity=1,
