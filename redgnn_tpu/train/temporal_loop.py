@@ -306,6 +306,8 @@ class TemporalTrainer:
         t0 = time.time()
         train = kg.splits["train"]
         order = self._np_rng.permutation(len(train))
+        if cfg.max_train_batches is not None:
+            order = order[: cfg.max_train_batches * cfg.batch_size]
         data = train[order]
         # graph row = train-file row for interpolation-style graphs
         rows = kg.exclusion_slots(order) if cfg.mode == "interpolation" \

@@ -118,6 +118,7 @@ class TemporalTrainConfig:
     plateau_factor: float = 0.1
     grad_clip: Optional[float] = None
     grad_accum_steps: int = 1  # `extrapolation/main.py:140` gradient_iters_per_update
+    max_train_batches: Optional[int] = None  # cap steps/epoch (smoke runs)
     batch_size: int = 32
     eval_batch_size: int = 32
     epochs: int = 50
@@ -150,8 +151,9 @@ _TEMPORAL = {
     # (the reference's data/preprocess.sh-fetched icews14_aug train file
     # is not committed; ICEWS14_TeMP is the same 72826-quad split)
     "ICEWS14_TeMP": TemporalTrainConfig(
-        batch_size=32, lr=1e-2, patience=3, epochs=20, weight_decay=1e-2,
-        hidden_dim=20, attn_dim=30, n_layer=4, dropout=0.1, act="leakyrelu",
+        batch_size=8, grad_accum_steps=4, lr=1e-2, patience=3, epochs=20,
+        weight_decay=1e-2, hidden_dim=20, attn_dim=30, n_layer=4,
+        dropout=0.1, act="leakyrelu", eval_batch_size=16,
     ),
     # `Temporal/extrapolation/main.py:111-155,202-209`
     # reference effective batch 128 (`main.py:112`), realized here as
