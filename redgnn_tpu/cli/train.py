@@ -123,7 +123,11 @@ def main(argv=None):
     elif args.resume_latest and args.ckpt_dir:
         from redgnn_tpu.utils.checkpoint import load_latest
 
-        latest = load_latest(args.ckpt_dir, trainer.state())
+        try:
+            latest = load_latest(args.ckpt_dir, trainer.state())
+        except Exception as e:  # e.g. optimizer-structure change
+            print(f"latest checkpoint incompatible ({e}); starting fresh")
+            latest = None
         if latest is not None:
             state, start_epoch, _ = latest
             trainer.params = state["params"]
