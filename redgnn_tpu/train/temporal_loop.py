@@ -371,6 +371,8 @@ class TemporalTrainer:
     def evaluate(self, split: str) -> Dict[str, float]:
         cfg, kg = self.cfg, self.kg
         data = kg.splits[split]
+        if cfg.max_eval_batches is not None:
+            data = data[: cfg.max_eval_batches * cfg.eval_batch_size]
         b = cfg.eval_batch_size
         caps = self._get_caps(f"eval_{split}", data, b)
         if cfg.mode == "extrapolation":

@@ -119,6 +119,7 @@ class TemporalTrainConfig:
     grad_clip: Optional[float] = None
     grad_accum_steps: int = 1  # `extrapolation/main.py:140` gradient_iters_per_update
     max_train_batches: Optional[int] = None  # cap steps/epoch (smoke runs)
+    max_eval_batches: Optional[int] = None   # cap eval batches (subset MRR)
     batch_size: int = 32
     eval_batch_size: int = 32
     epochs: int = 50
