@@ -38,6 +38,18 @@ def parse_overrides(pairs, cfg):
             val = int(raw)
         elif isinstance(cur, float):
             val = float(raw)
+        elif cur is None:
+            # Optional fields: infer numeric types from the literal
+            if raw.lower() in ("none", "null"):
+                val = None
+            else:
+                try:
+                    val = int(raw)
+                except ValueError:
+                    try:
+                        val = float(raw)
+                    except ValueError:
+                        val = raw
         else:
             val = raw
         cfg = dataclasses.replace(cfg, **{key: val})
