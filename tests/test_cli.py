@@ -53,3 +53,16 @@ def test_cli_interpolation(tmp_path, rng, capsys):
     ])
     out = capsys.readouterr().out
     assert "BEST" in out
+
+
+def test_parse_overrides_optional_fields():
+    from redgnn_tpu.cli.train import parse_overrides
+    from redgnn_tpu.utils.config import TemporalTrainConfig
+
+    cfg = TemporalTrainConfig()
+    out = parse_overrides(
+        ["max_train_batches=1500", "grad_clip=2.5", "window=none"], cfg)
+    assert out.max_train_batches == 1500 and isinstance(
+        out.max_train_batches, int)
+    assert out.grad_clip == 2.5
+    assert out.window is None
