@@ -95,7 +95,9 @@ class TemporalModelConfig:
     time_key_base: Optional[int] = None  # composite (head,time) key stride
     n_frequencies: int = 48
     segment_impl: str = "xla"
-    remat: bool = True  # recompute per-edge math in backward (HBM savings)
+    remat: bool = False  # recompute per-edge math in backward (HBM
+    # savings); OFF by default — jax.checkpoint programs correlate with
+    # axon worker faults (static model without remat runs for hours)
     dedup_impl: str = "bitmap"  # bitmap avoids multi-M-row device sorts
     edge_dropout: float = 0.0  # random per-hop edge drop during training
     # (the interpolation prototype's 50% drop, `RED-GNN/model.py:188-189`)
