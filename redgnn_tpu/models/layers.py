@@ -62,6 +62,7 @@ class RelAttnLayer(nn.Module):
     edge_axis: str | None = None
     edge_shards: int = 1
     compute_dtype: str = "float32"  # "bfloat16" halves gather/VPU traffic
+    edges_sorted: bool = True  # frontier emitted dst-sorted (dedup='sort')
 
     @nn.compact
     def __call__(
@@ -117,7 +118,7 @@ class RelAttnLayer(nn.Module):
             message,
             dst,
             num_segments=node_cap,
-            indices_are_sorted=True,
+            indices_are_sorted=self.edges_sorted,
             impl=self.segment_impl,
         )
         if self.edge_axis is not None and self.edge_shards > 1:

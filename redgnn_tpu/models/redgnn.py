@@ -40,9 +40,31 @@ class ModelConfig:
     act: str = "relu"
     segment_impl: str = "xla"
     compute_dtype: str = "float32"
+    # node-dedup scheme per hop: 'sort' (argsort over edge keys; edges come
+    # out dst-sorted), 'bitmap' (presence bitmap + prefix sum over B*n_ent;
+    # no device sort), or 'auto' — bitmap whenever the key space is small
+    # relative to the edge sort volume (see _resolve_dedup).
+    dedup_impl: str = "auto"
     # edge-parallel propagation (set inside shard_map; SURVEY.md §5)
     edge_axis: str | None = None
     edge_shards: int = 1
+
+
+def _resolve_dedup(dedup_impl: str, key_space: int, edge_cap: int) -> str:
+    """Pick the cheaper dedup scheme for one hop.
+
+    The bitmap costs O(key_space) sequential cumsum work; the sort costs
+    O(E log E) with ~5x larger per-element constants (multi-pass radix over
+    int32 keys plus the payload permutation gathers). Crossover measured on
+    v5e: bitmap wins until key_space exceeds ~16x the edge capacity.
+    """
+    if dedup_impl == "auto":
+        return "bitmap" if key_space <= 16 * edge_cap else "sort"
+    if dedup_impl not in ("sort", "bitmap"):
+        raise ValueError(
+            f"dedup_impl must be 'sort', 'bitmap' or 'auto', got "
+            f"{dedup_impl!r}")
+    return dedup_impl
 
 
 class RedGNN(nn.Module):
@@ -75,11 +97,15 @@ class RedGNN(nn.Module):
                                "num_nodes": [], "num_edges": []}
 
         for i in range(cfg.n_layer):
+            dedup = _resolve_dedup(cfg.dedup_impl, b * cfg.n_ent,
+                                   caps.edge_caps[i])
             fr = expand_frontier(
                 graph.rowptr, graph.rel, graph.tail,
                 cfg.n_ent, node_keys,
                 edge_cap=caps.edge_caps[i],
                 node_cap=caps.node_caps[i + 1],
+                dedup_impl=dedup,
+                key_space=b * cfg.n_ent,
             )
             layer = RelAttnLayer(
                 hidden_dim=cfg.hidden_dim,
@@ -90,6 +116,7 @@ class RedGNN(nn.Module):
                 compute_dtype=cfg.compute_dtype,
                 edge_axis=cfg.edge_axis,
                 edge_shards=cfg.edge_shards,
+                edges_sorted=(dedup == "sort"),
                 name=f"layer_{i}",
             )
             new_hidden = layer(hidden, rels, fr, caps.node_caps[i + 1])

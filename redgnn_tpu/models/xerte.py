@@ -61,7 +61,7 @@ class XErteConfig:
     node_score_aggregation: str = "sum"   # sum | mean | max
     ent_score_aggregation: str = "sum"
     ratio_update: float = 0.0
-    sampling: str = "weighted"      # uniform | last | weighted
+    sampling: str = "weighted"      # uniform | first | last | weighted
     weight_factor: float = 2.0
     use_time_embedding: bool = True
 
@@ -222,6 +222,10 @@ class XErte(nn.Module):
             )
             if cfg.sampling == "uniform":
                 off = (u * span[:, None]).astype(jnp.int32)
+            elif cfg.sampling == "first":
+                # oldest-K edges (reference strategy 2,
+                # `Temporal/extrapolation/utils.py:402-499`)
+                off = jnp.broadcast_to(jnp.arange(k)[None, :], (n_att, k))
             elif cfg.sampling == "last":
                 off = span[:, None] - 1 - jnp.arange(k)[None, :]
             else:  # recency-weighted: exponential offsets from the end

@@ -84,7 +84,7 @@ class StaticTrainer:
             n_ent=kg.n_ent, n_rel=kg.n_rel, hidden_dim=cfg.hidden_dim,
             attn_dim=cfg.attn_dim, n_layer=cfg.n_layer, dropout=cfg.dropout,
             act=cfg.act, segment_impl=cfg.segment_impl,
-            compute_dtype=cfg.compute_dtype,
+            compute_dtype=cfg.compute_dtype, dedup_impl=cfg.dedup_impl,
         )
         self.model = RedGNN(self.model_cfg)
 

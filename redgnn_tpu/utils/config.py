@@ -31,6 +31,7 @@ class TrainConfig:
     # TPU-specific
     segment_impl: str = "xla"
     compute_dtype: str = "float32"  # "bfloat16" for bandwidth-bound graphs
+    dedup_impl: str = "auto"  # 'sort' | 'bitmap' | 'auto' (see models/redgnn.py)
     cap_headroom: float = 1.2
     scan_chunk: int = 256  # max steps per device dispatch (watchdog bound)
 

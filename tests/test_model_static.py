@@ -142,6 +142,31 @@ def test_padded_queries_score_zero(rng):
     assert np.all(np.asarray(scores)[2:] == 0.0)
 
 
+def test_dedup_bitmap_matches_sort_forward(rng):
+    """The two node-compaction schemes must give identical scores (the
+    frontier sets are equal; only edge order / dst indexing differ)."""
+    import dataclasses
+    triples = make_graph(rng)
+    rowptr, rel, tail = build_csr(triples, N_ENT)
+    graph = DeviceGraph(jnp.asarray(rowptr), jnp.asarray(rel),
+                        jnp.asarray(tail))
+    cfg_s = ModelConfig(n_ent=N_ENT, n_rel=N_REL, hidden_dim=D, attn_dim=A,
+                        n_layer=L, dropout=0.0, dedup_impl="sort")
+    cfg_b = dataclasses.replace(cfg_s, dedup_impl="bitmap")
+    b = 4
+    caps = FrontierCaps((b, 256, 256, 256), (2048, 2048, 2048))
+    subs = jnp.asarray(rng.integers(0, N_ENT, b), jnp.int32)
+    rels = jnp.asarray(rng.integers(0, 2 * N_REL, b), jnp.int32)
+    qmask = jnp.ones(b, bool)
+    key = jax.random.PRNGKey(7)
+    ms, mb = RedGNN(cfg_s), RedGNN(cfg_b)
+    variables = ms.init({"params": key, "dropout": key}, graph, subs, rels,
+                        qmask, caps, False)
+    ss, _ = ms.apply(variables, graph, subs, rels, qmask, caps, False)
+    sb, _ = mb.apply(variables, graph, subs, rels, qmask, caps, False)
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(ss), atol=1e-5)
+
+
 def test_bfloat16_compute_close_to_fp32(rng):
     import dataclasses
     triples = make_graph(rng)

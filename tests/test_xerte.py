@@ -52,7 +52,7 @@ def test_sampling_strategies(setup):
     kg, cfg, model, variables, args, q = setup
     import dataclasses
 
-    for strat in ("uniform", "last", "weighted"):
+    for strat in ("uniform", "first", "last", "weighted"):
         cfg2 = dataclasses.replace(cfg, sampling=strat)
         m2 = XErte(cfg2)
         mass, _ = m2.apply(variables, *args)
