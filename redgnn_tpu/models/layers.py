@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from redgnn_tpu.ops.frontier import Frontier
+from redgnn_tpu.ops.gather import take_rows
 from redgnn_tpu.ops.segment import segment_sum
 
 ACTIVATIONS: dict[str, Callable] = {
@@ -103,9 +104,19 @@ class RelAttnLayer(nn.Module):
         cdt = jnp.dtype(self.compute_dtype)
         hidden_c = hidden_prev.astype(cdt)
         rela_c = rela_embed.astype(cdt)
-        hs = hidden_c[src]            # (E, D) gather
-        hr = rela_c[rel]              # (E, D)
-        h_qr = rela_c[q_rel][batch]   # (E, D)
+        # Row gathers; the relation-table and per-query lookups use
+        # take_rows so their backward is an MXU one-hot contraction
+        # instead of a latency-bound per-edge scatter-add. Inside an
+        # edge-sharded shard_map the custom VJP's replication can't be
+        # statically inferred by the vma checker, so that path keeps the
+        # plain gathers (its backward scatter is already psum-combined).
+        hs = hidden_c[src]                           # (E, D)
+        if self.edge_axis is None:
+            hr = take_rows(rela_c, rel)              # (E, D)
+            h_qr = take_rows(take_rows(rela_c, q_rel), batch)
+        else:
+            hr = rela_c[rel]
+            h_qr = rela_c[q_rel][batch]
 
         logits = w_alpha(jax.nn.relu(ws(hs) + wr(hr) + wqr(h_qr)))
         alpha = jax.nn.sigmoid(logits.astype(jnp.float32))

@@ -122,7 +122,8 @@ class RedGNN(nn.Module):
             new_hidden = layer(hidden, rels, fr, caps.node_caps[i + 1])
             # carry GRU state: previous nodes keep h0, new nodes start at 0
             h0 = align_old_to_new(node_keys, fr.node_keys, h0,
-                                  caps.node_caps[i + 1])
+                                  caps.node_caps[i + 1],
+                                  key_prefix=fr.key_prefix)
             new_hidden = nn.Dropout(cfg.dropout, deterministic=not train)(
                 new_hidden
             )

@@ -34,6 +34,7 @@ from flax import linen as nn
 from redgnn_tpu.graph.calibrate import FrontierCaps
 from redgnn_tpu.graph.kg import DeviceGraph
 from redgnn_tpu.models.layers import _uniform_init
+from redgnn_tpu.ops.gather import take_rows
 from redgnn_tpu.ops.frontier import (
     SENTINEL,
     expand_frontier,
@@ -221,6 +222,7 @@ class TRedGNN(nn.Module):
                     edge_mask_fn=edge_mask_fn,
                     dedup_impl=cfg.dedup_impl,
                     key_space=b * cfg.n_ent,
+                    etime=etime,
                 )
             else:
                 fr = expand_frontier(
@@ -230,6 +232,7 @@ class TRedGNN(nn.Module):
                     edge_mask_fn=edge_mask_fn,
                     dedup_impl=cfg.dedup_impl,
                     key_space=b * cfg.n_ent,
+                    etime=etime,
                 )
             rela = self.param(
                 f"rela_embed_{i}", nn.initializers.xavier_uniform(),
@@ -245,12 +248,15 @@ class TRedGNN(nn.Module):
             node_cap_i = caps.node_caps[i + 1]
 
             def hop_fn(hidden, rela, a1_k, a2_k, src, dst, rel, batch,
-                       edge_id, edge_valid):
+                       edge_id, edge_valid, e_time):
                 hs = hidden[src]
-                hr = rela[rel]
-                h_qr = rela[rels][batch]
+                # take_rows: MXU one-hot backward for the relation table
+                # and the per-query (B-row) lookup instead of per-edge
+                # scatter-adds (falls back to scatter for huge E*R)
+                hr = take_rows(rela, rel)
+                h_qr = take_rows(take_rows(rela, rels), batch)
 
-                t_e = etime[edge_id].astype(jnp.float32)
+                t_e = e_time.astype(jnp.float32)
                 t_q = times[batch].astype(jnp.float32)
                 if cfg.mode == "interpolation":
                     delta = t_e - t_q
@@ -268,8 +274,7 @@ class TRedGNN(nn.Module):
                     if cfg.time_embedding == "periodic":
                         msg = msg + time_embed(delta)
                     else:
-                        t_idx = jnp.clip(etime[edge_id], 0,
-                                         (cfg.n_time or 1) - 1)
+                        t_idx = jnp.clip(e_time, 0, (cfg.n_time or 1) - 1)
                         msg = msg + abs_table[t_idx]
                 if cfg.mode == "interpolation":
                     transformed = jnp.where(
@@ -306,7 +311,8 @@ class TRedGNN(nn.Module):
                     edge_valid.shape)
                 edge_valid = edge_valid & keep
             hidden = hop_fn(hidden, rela, a1_k, a2_k, fr.src, fr.dst,
-                            fr.rel, fr.batch, fr.edge_id, edge_valid)
+                            fr.rel, fr.batch, fr.edge_id, edge_valid,
+                            fr.time)
             node_keys = fr.node_keys
 
             aux["edge_overflow"].append(fr.edge_overflow)

@@ -55,6 +55,12 @@ class Frontier(NamedTuple):
     # --- overflow diagnostics ---
     edge_overflow: jnp.ndarray  # () bool — true edge count exceeded edge_cap
     node_overflow: jnp.ndarray  # () bool — unique node count exceeded node_cap
+    # --- bitmap-dedup extra: key -> slot+1 prefix table (None for 'sort');
+    # lets align_old_to_new use one cheap gather instead of a binary search
+    key_prefix: jnp.ndarray | None = None
+    # --- per-edge timestamp (temporal graphs only; fetched in the same
+    # fused attribute row gather as rel/tail)
+    time: jnp.ndarray | None = None
 
 
 def expand_frontier(
@@ -68,6 +74,7 @@ def expand_frontier(
     edge_mask_fn=None,
     dedup_impl: str = "sort",
     key_space: int | None = None,
+    etime: jnp.ndarray | None = None,
 ) -> Frontier:
     """Expand one hop: gather all edges whose head is in the frontier.
 
@@ -94,7 +101,7 @@ def expand_frontier(
     return expand_frontier_ranges(
         erel, etail, n_ent, node_keys, row_start, deg, edge_cap, node_cap,
         extra_edge_slot=None, edge_mask_fn=edge_mask_fn,
-        dedup_impl=dedup_impl, key_space=key_space,
+        dedup_impl=dedup_impl, key_space=key_space, etime=etime,
     )
 
 
@@ -111,6 +118,7 @@ def expand_frontier_ranges(
     edge_mask_fn=None,
     dedup_impl: str = "sort",
     key_space: int | None = None,  # B * n_ent, required for 'bitmap'
+    etime: jnp.ndarray | None = None,  # (n_edges,) timestamps (temporal)
 ) -> Frontier:
     """Core expansion over per-node edge ranges.
 
@@ -156,22 +164,43 @@ def expand_frontier_ranges(
     src = jax.lax.cummax(marker)
     edge_valid = e_idx < total_edges
     src_c = jnp.minimum(src, prev_cap - 1)
-    within = e_idx - start[src_c]
+
+    # Per-edge scalar gathers are latency-bound on TPU (~7ns/element,
+    # regardless of width up to ~8 int32 lanes) — so every per-node value
+    # an edge needs is packed into ONE row table and fetched with a single
+    # row gather, and the (rel, tail) columns of the graph are fetched as
+    # one 2-wide row (the stacks are loop-invariant: XLA hoists them out
+    # of the epoch scan).
+    base = jnp.where(valid_node, node_keys - ent, 0).astype(jnp.int32)
     if extra_edge_slot is not None:
-        edge_id = jnp.where(
-            within < deg[src_c],
-            row_start[src_c] + within,
-            extra_edge_slot[src_c],
-        )
+        node_tab = jnp.stack(
+            [start.astype(jnp.int32), row_start.astype(jnp.int32),
+             deg.astype(jnp.int32), extra_edge_slot.astype(jnp.int32),
+             base], axis=1)
+        rows = node_tab[src_c]
+        within = e_idx - rows[:, 0]
+        edge_id = jnp.where(within < rows[:, 2], rows[:, 1] + within,
+                            rows[:, 3])
+        base_e = rows[:, 4]
     else:
-        edge_id = row_start[src_c] + within
+        node_tab = jnp.stack(
+            [(row_start - start).astype(jnp.int32), base], axis=1)
+        rows = node_tab[src_c]
+        edge_id = e_idx + rows[:, 0]
+        base_e = rows[:, 1]
     edge_id = jnp.where(edge_valid, edge_id, 0)
-    rel_e = erel[edge_id]
-    tail_e = etail[edge_id]
-    batch_e = node_keys[src_c] // n_ent
+    cols = [erel.astype(jnp.int32), etail.astype(jnp.int32)]
+    if etime is not None:
+        cols.append(etime.astype(jnp.int32))
+    eattr = jnp.stack(cols, axis=1)
+    attr = eattr[edge_id]
+    rel_e = attr[:, 0]
+    tail_e = attr[:, 1]
+    time_e = attr[:, 2] if etime is not None else None
+    batch_e = base_e // n_ent
     if edge_mask_fn is not None:
         edge_valid = edge_valid & edge_mask_fn(edge_id, batch_e, rel_e)
-    tail_key = jnp.where(edge_valid, batch_e * n_ent + tail_e, SENTINEL)
+    tail_key = jnp.where(edge_valid, base_e + tail_e, SENTINEL)
 
     if dedup_impl == "bitmap":
         assert key_space is not None
@@ -202,6 +231,9 @@ def expand_frontier_ranges(
             num_edges=total_edges.astype(jnp.int32),
             edge_overflow=total_edges > edge_cap,
             node_overflow=node_overflow,
+            key_prefix=prefix,
+            time=(None if time_e is None
+                  else jnp.where(edge_valid_b, time_e, 0)),
         )
 
     # Deduplicate destination keys: sort + adjacent-compare. Stable sort keeps
@@ -236,6 +268,8 @@ def expand_frontier_ranges(
         num_edges=total_edges.astype(jnp.int32),
         edge_overflow=total_edges > edge_cap,
         node_overflow=node_overflow,
+        time=(None if time_e is None
+              else jnp.where(edge_valid_sorted, time_e[order], 0)),
     )
 
 
@@ -244,17 +278,23 @@ def align_old_to_new(
     new_keys: jnp.ndarray,
     old_values: jnp.ndarray,
     node_cap: int,
+    key_prefix: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Carry per-node state across a re-indexing hop.
 
     Equivalent of the reference's `old_nodes_new_idx` + `index_copy_` trick
     (`Static/transductive/models.py:81-84`, built from the self-loop edge
     mask at `load_data.py:126-129`): every old node has a self-loop, so it
-    appears in the new frontier; here we find its new slot directly by
-    binary search over the sorted new key array. New nodes get zeros.
+    appears in the new frontier. With a bitmap-dedup ``key_prefix`` the new
+    slot is ``prefix[key] - 1`` (one cheap gather); otherwise it is found
+    by binary search over the sorted new key array. New nodes get zeros.
     """
     valid = old_keys != SENTINEL
-    pos = jnp.searchsorted(new_keys, old_keys).astype(jnp.int32)
+    if key_prefix is not None:
+        safe = jnp.where(valid, old_keys, 0)
+        pos = key_prefix[jnp.minimum(safe, key_prefix.shape[0] - 1)] - 1
+    else:
+        pos = jnp.searchsorted(new_keys, old_keys).astype(jnp.int32)
     pos = jnp.where(valid, pos, node_cap)  # out of range => dropped
     out_shape = (node_cap,) + old_values.shape[1:]
     return jnp.zeros(out_shape, old_values.dtype).at[pos].set(

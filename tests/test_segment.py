@@ -81,3 +81,48 @@ def test_segment_normalize_l1(rng):
         m = seg == s
         if m.sum():
             np.testing.assert_allclose(out[m].sum(), 1.0, rtol=1e-5)
+
+
+def test_take_rows_grad_matches_plain_gather(rng):
+    """take_rows' one-hot-matmul backward must equal autodiff of table[idx],
+    on both the small-table (matmul) and fallback (segment-sum) paths."""
+    import jax
+    from redgnn_tpu.ops import gather as G
+
+    table = jnp.asarray(rng.normal(size=(7, 5)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 7, size=64), jnp.int32)
+    w = jnp.asarray(rng.normal(size=(5,)), jnp.float32)
+
+    def loss_custom(t):
+        return jnp.sum(jnp.tanh(G.take_rows(t, idx)) @ w)
+
+    def loss_plain(t):
+        return jnp.sum(jnp.tanh(t[idx]) @ w)
+
+    g_custom = jax.grad(loss_custom)(table)
+    g_plain = jax.grad(loss_plain)(table)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
+                               rtol=1e-5, atol=1e-6)
+
+    # force the fallback path
+    old = G._ONEHOT_BUDGET
+    try:
+        G._ONEHOT_BUDGET = 1
+        g_fb = jax.grad(loss_custom)(table)
+    finally:
+        G._ONEHOT_BUDGET = old
+    np.testing.assert_allclose(np.asarray(g_fb), np.asarray(g_plain),
+                               rtol=1e-5, atol=1e-6)
+
+    # 2-D index shape (the h_qr two-level gather pattern)
+    idx2 = jnp.asarray(rng.integers(0, 7, size=(8, 3)), jnp.int32)
+
+    def loss2(t):
+        return jnp.sum(G.take_rows(t, idx2) ** 2)
+
+    def loss2_plain(t):
+        return jnp.sum(t[idx2] ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss2)(table)),
+                               np.asarray(jax.grad(loss2_plain)(table)),
+                               rtol=1e-5, atol=1e-6)
