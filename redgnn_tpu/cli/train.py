@@ -152,7 +152,9 @@ def main(argv=None):
         print(json.dumps({"valid": vm, "test": tm}))
         return
 
-    with PeakRSSMonitor() as mon:
+    from redgnn_tpu.utils.linetrace import maybe_trace_from_env
+
+    with PeakRSSMonitor() as mon, maybe_trace_from_env():
         best = trainer.fit(epochs=args.epochs, logger=logger,
                            ckpt_dir=args.ckpt_dir, start_epoch=start_epoch)
     print(write_memory_report(logger.mem_path, "run", mon.peak_rss_bytes))

@@ -61,7 +61,13 @@ class XErteConfig:
     node_score_aggregation: str = "sum"   # sum | mean | max
     ent_score_aggregation: str = "sum"
     ratio_update: float = 0.0
-    sampling: str = "weighted"      # uniform | first | last | weighted
+    # uniform | first | last | weighted | whole — the reference's five
+    # strategies (`Temporal/extrapolation/utils.py:402-499`). 'whole'
+    # (all historical neighbors) is 'first' with dp_num_edges >= the max
+    # per-node span: the fixed-K design admits no unbounded edge list, so
+    # callers size K to the graph's max in-window degree for exact 'whole'
+    # semantics (oldest-K truncation otherwise).
+    sampling: str = "weighted"
     weight_factor: float = 2.0
     use_time_embedding: bool = True
 
@@ -222,9 +228,9 @@ class XErte(nn.Module):
             )
             if cfg.sampling == "uniform":
                 off = (u * span[:, None]).astype(jnp.int32)
-            elif cfg.sampling == "first":
-                # oldest-K edges (reference strategy 2,
-                # `Temporal/extrapolation/utils.py:402-499`)
+            elif cfg.sampling in ("first", "whole"):
+                # oldest-K edges (reference strategy 2); 'whole' when K
+                # covers the max span (`utils.py:402-499`)
                 off = jnp.broadcast_to(jnp.arange(k)[None, :], (n_att, k))
             elif cfg.sampling == "last":
                 off = span[:, None] - 1 - jnp.arange(k)[None, :]

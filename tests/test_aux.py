@@ -157,3 +157,35 @@ def test_viz_outputs(tmp_path):
     mean = _np.where(acc[:, :, 1] > 0, acc[:, :, 0] / _np.maximum(acc[:, :, 1], 1), 0)
     out2 = plot_attention_heatmap(mean, out_path=str(tmp_path / "attn.png"))
     assert (tmp_path / "attn.png").stat().st_size > 0
+
+
+def test_line_memory_tracer(tmp_path):
+    """The settrace hook records device-buffer deltas for traced lines."""
+    import jax.numpy as jnp
+    from redgnn_tpu.utils.linetrace import LineMemoryTracer
+
+    out = tmp_path / "trace.txt"
+    keep = []
+
+    with LineMemoryTracer(str(out), module_filter="", min_delta_bytes=1):
+        def alloc():
+            keep.append(jnp.ones((256, 256)).block_until_ready())
+        alloc()
+
+    text = out.read_text()
+    assert "line trace start" in text and "line trace end" in text
+    assert "+" in text  # at least one positive allocation delta recorded
+
+
+def test_line_tracer_env_toggle(tmp_path, monkeypatch):
+    from redgnn_tpu.utils.linetrace import maybe_trace_from_env
+
+    monkeypatch.delenv("REDGNN_LINE_TRACE", raising=False)
+    with maybe_trace_from_env():
+        pass  # nullcontext
+
+    p = tmp_path / "t.txt"
+    monkeypatch.setenv("REDGNN_LINE_TRACE", str(p))
+    with maybe_trace_from_env():
+        pass
+    assert p.exists()

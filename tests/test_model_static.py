@@ -167,6 +167,32 @@ def test_dedup_bitmap_matches_sort_forward(rng):
     np.testing.assert_allclose(np.asarray(sb), np.asarray(ss), atol=1e-5)
 
 
+def test_segment_scan_impl_matches_xla_forward(rng):
+    """dedup='sort' + segment_impl='scan' (cumsum-diff aggregation) must
+    match the scatter path up to prefix-cancellation noise."""
+    import dataclasses
+    triples = make_graph(rng)
+    rowptr, rel, tail = build_csr(triples, N_ENT)
+    graph = DeviceGraph(jnp.asarray(rowptr), jnp.asarray(rel),
+                        jnp.asarray(tail))
+    cfg_x = ModelConfig(n_ent=N_ENT, n_rel=N_REL, hidden_dim=D, attn_dim=A,
+                        n_layer=L, dropout=0.0, dedup_impl="sort")
+    cfg_s = dataclasses.replace(cfg_x, segment_impl="scan")
+    b = 4
+    caps = FrontierCaps((b, 256, 256, 256), (2048, 2048, 2048))
+    subs = jnp.asarray(rng.integers(0, N_ENT, b), jnp.int32)
+    rels = jnp.asarray(rng.integers(0, 2 * N_REL, b), jnp.int32)
+    qmask = jnp.ones(b, bool)
+    key = jax.random.PRNGKey(11)
+    mx, ms = RedGNN(cfg_x), RedGNN(cfg_s)
+    variables = mx.init({"params": key, "dropout": key}, graph, subs, rels,
+                        qmask, caps, False)
+    sx, _ = mx.apply(variables, graph, subs, rels, qmask, caps, False)
+    ss, _ = ms.apply(variables, graph, subs, rels, qmask, caps, False)
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(sx),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_bfloat16_compute_close_to_fp32(rng):
     import dataclasses
     triples = make_graph(rng)

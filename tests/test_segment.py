@@ -126,3 +126,37 @@ def test_take_rows_grad_matches_plain_gather(rng):
     np.testing.assert_allclose(np.asarray(jax.grad(loss2)(table)),
                                np.asarray(jax.grad(loss2_plain)(table)),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_segment_sum_scan_impl_matches_xla(rng):
+    """impl='scan' (cumsum-diff over sorted segments) vs the scatter path,
+    values and gradients; includes empty segments and out-of-range pads."""
+    import jax
+    e, n, d = 300, 40, 5
+    ids = np.sort(rng.integers(0, n, e))
+    ids[-7:] = n  # padded edges (zero data, out-of-range segment)
+    data = rng.normal(size=(e, d)).astype(np.float32)
+    data[-7:] = 0.0
+    jids = jnp.asarray(ids, jnp.int32)
+    jdata = jnp.asarray(data)
+
+    out_scan = segment_sum(jdata, jids, n, indices_are_sorted=True,
+                           impl="scan")
+    out_xla = segment_sum(jdata, jids, n, indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_xla),
+                               rtol=1e-4, atol=1e-4)
+
+    w = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+
+    def loss(x, impl):
+        return jnp.sum(segment_sum(x, jids, n, indices_are_sorted=True,
+                                   impl=impl) * w)
+
+    g_scan = jax.grad(lambda x: loss(x, "scan"))(jdata)
+    g_xla = jax.grad(lambda x: loss(x, "xla"))(jdata)
+    np.testing.assert_allclose(np.asarray(g_scan), np.asarray(g_xla),
+                               rtol=1e-5, atol=1e-5)
+
+    import pytest
+    with pytest.raises(ValueError):
+        segment_sum(jdata, jids, n, indices_are_sorted=False, impl="scan")
