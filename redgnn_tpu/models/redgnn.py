@@ -50,20 +50,32 @@ class ModelConfig:
     edge_shards: int = 1
 
 
-def _resolve_dedup(dedup_impl: str, key_space: int, edge_cap: int) -> str:
+def _resolve_dedup(dedup_impl: str, key_space: int, edge_cap: int,
+                   segment_impl: str = "xla") -> str:
     """Pick the cheaper dedup scheme for one hop.
 
     The bitmap costs O(key_space) sequential cumsum work; the sort costs
     O(E log E) with ~5x larger per-element constants (multi-pass radix over
     int32 keys plus the payload permutation gathers). Crossover measured on
     v5e: bitmap wins until key_space exceeds ~16x the edge capacity.
+
+    The 'scan' and 'pallas' segment implementations require dst-sorted
+    edges, which only the sort dedup provides — they force 'sort'
+    (explicitly requesting bitmap with them is a config error).
     """
+    needs_sorted = segment_impl in ("scan", "pallas")
     if dedup_impl == "auto":
+        if needs_sorted:
+            return "sort"
         return "bitmap" if key_space <= 16 * edge_cap else "sort"
     if dedup_impl not in ("sort", "bitmap"):
         raise ValueError(
             f"dedup_impl must be 'sort', 'bitmap' or 'auto', got "
             f"{dedup_impl!r}")
+    if needs_sorted and dedup_impl == "bitmap":
+        raise ValueError(
+            f"segment_impl={segment_impl!r} requires dst-sorted edges; "
+            "use dedup_impl='sort' (or 'auto')")
     return dedup_impl
 
 
@@ -98,7 +110,7 @@ class RedGNN(nn.Module):
 
         for i in range(cfg.n_layer):
             dedup = _resolve_dedup(cfg.dedup_impl, b * cfg.n_ent,
-                                   caps.edge_caps[i])
+                                   caps.edge_caps[i], cfg.segment_impl)
             fr = expand_frontier(
                 graph.rowptr, graph.rel, graph.tail,
                 cfg.n_ent, node_keys,

@@ -191,8 +191,12 @@ class TRedGNN(nn.Module):
         aux: Dict[str, Any] = {"edge_overflow": [], "node_overflow": [],
                                "num_nodes": [], "num_edges": []}
 
+        from redgnn_tpu.models.redgnn import _resolve_dedup
+
         windowed = cfg.mode == "extrapolation" and cfg.window is not None
         for i in range(cfg.n_layer):
+            dedup = _resolve_dedup(cfg.dedup_impl, b * cfg.n_ent,
+                                   caps.edge_caps[i], cfg.segment_impl)
             if windowed:
                 # time-windowed expansion: each frontier node's in-window
                 # edges are a contiguous CSR sub-row (rows sorted by
@@ -220,7 +224,7 @@ class TRedGNN(nn.Module):
                     node_cap=caps.node_caps[i + 1],
                     extra_edge_slot=selfloop_slot[ent],
                     edge_mask_fn=edge_mask_fn,
-                    dedup_impl=cfg.dedup_impl,
+                    dedup_impl=dedup,
                     key_space=b * cfg.n_ent,
                     etime=etime,
                 )
@@ -230,7 +234,7 @@ class TRedGNN(nn.Module):
                     edge_cap=caps.edge_caps[i],
                     node_cap=caps.node_caps[i + 1],
                     edge_mask_fn=edge_mask_fn,
-                    dedup_impl=cfg.dedup_impl,
+                    dedup_impl=dedup,
                     key_space=b * cfg.n_ent,
                     etime=etime,
                 )
@@ -294,7 +298,7 @@ class TRedGNN(nn.Module):
                 message = jnp.where(edge_valid[:, None], message, 0.0)
 
                 agg = segment_sum(message, dst, node_cap_i,
-                                  indices_are_sorted=cfg.dedup_impl == "sort",
+                                  indices_are_sorted=dedup == "sort",
                                   impl=cfg.segment_impl)
                 if use_dropout:
                     keep = jax.random.bernoulli(

@@ -234,10 +234,15 @@ class XErte(nn.Module):
                 off = jnp.broadcast_to(jnp.arange(k)[None, :], (n_att, k))
             elif cfg.sampling == "last":
                 off = span[:, None] - 1 - jnp.arange(k)[None, :]
-            else:  # recency-weighted: exponential offsets from the end
+            elif cfg.sampling == "weighted":
+                # recency-weighted: exponential offsets from the end
                 off = span[:, None] - 1 - (
                     -jnp.log(u + 1e-12) * cfg.weight_factor * k
                 ).astype(jnp.int32)
+            else:
+                raise ValueError(
+                    "sampling must be one of uniform/first/last/weighted/"
+                    f"whole, got {cfg.sampling!r}")
             off = jnp.clip(off, 0, jnp.maximum(span - 1, 0)[:, None])
             samp_valid = att_valid[:, None] & (span > 0)[:, None] & (
                 jnp.arange(k)[None, :] < span[:, None])

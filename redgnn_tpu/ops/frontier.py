@@ -37,8 +37,12 @@ SENTINEL = jnp.iinfo(jnp.int32).max
 class Frontier(NamedTuple):
     """One hop of expansion: the new node set and its incident edge list.
 
-    Edge arrays all have length ``edge_cap`` and are sorted by ``dst``.
-    Node arrays have length ``node_cap``.
+    Edge arrays all have length ``edge_cap``. With ``dedup_impl='sort'``
+    they are additionally sorted by ``dst`` (required by the 'scan' and
+    'pallas' segment implementations — see RelAttnLayer.edges_sorted);
+    with ``dedup_impl='bitmap'`` they stay in expansion order. node_keys
+    is sorted ascending in BOTH schemes. Node arrays have length
+    ``node_cap``.
     """
 
     # --- nodes (next frontier) ---
@@ -295,7 +299,15 @@ def align_old_to_new(
         pos = key_prefix[jnp.minimum(safe, key_prefix.shape[0] - 1)] - 1
     else:
         pos = jnp.searchsorted(new_keys, old_keys).astype(jnp.int32)
-    pos = jnp.where(valid, pos, node_cap)  # out of range => dropped
+    # An old key can be MISSING from the new frontier when edge-cap
+    # overflow clipped its self-loop (the overflow flag triggers a replay,
+    # but this very program still runs to completion first): then pos
+    # points at a different node's slot — or is -1, which jnp scatter
+    # would WRAP in range. Verify the slot really holds the key; drop
+    # otherwise so overflow degrades instead of corrupting neighbors.
+    pos_c = jnp.clip(pos, 0, node_cap - 1)
+    hit = valid & (pos >= 0) & (new_keys[pos_c] == old_keys)
+    pos = jnp.where(hit, pos_c, node_cap)  # out of range => dropped
     out_shape = (node_cap,) + old_values.shape[1:]
     return jnp.zeros(out_shape, old_values.dtype).at[pos].set(
         old_values, mode="drop"

@@ -38,6 +38,9 @@ def segment_sum(
     padded messages are pre-zeroed.
     """
     if impl == "pallas":
+        if not indices_are_sorted:
+            raise ValueError("segment_sum impl='pallas' requires sorted ids"
+                             " (dedup_impl='sort' frontiers)")
         from redgnn_tpu.ops.segment_pallas import segment_sum_pallas
 
         return segment_sum_pallas(data, segment_ids, num_segments)
@@ -78,16 +81,15 @@ def _segment_sum_scan_fwd(data, segment_ids, num_segments):
         pos, mode="drop")
     # last position of any NON-EMPTY segment before this one
     prev_last = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32),
-         jax.lax.cummax(jnp.maximum(last, -1))[:-1]])
+        [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(last)[:-1]])
     pe = jnp.where((last >= 0)[:, None], p[jnp.maximum(last, 0)], 0.0)
     ps = jnp.where((prev_last >= 0)[:, None] & (last >= 0)[:, None],
                    p[jnp.maximum(prev_last, 0)], 0.0)
-    return (pe - ps).astype(data.dtype), (segment_ids, e)
+    return (pe - ps).astype(data.dtype), segment_ids
 
 
 def _segment_sum_scan_bwd(num_segments, res, g):
-    segment_ids, e = res
+    segment_ids = res
     safe = jnp.minimum(segment_ids, num_segments - 1)
     d = g[safe]
     d = jnp.where((segment_ids < num_segments)[:, None], d, 0.0)

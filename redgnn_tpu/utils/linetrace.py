@@ -50,23 +50,37 @@ class LineMemoryTracer:
         self._out: Optional[TextIO] = None
         self._last = 0
         self._prev_trace = None
+        # The line that executed between the previous event and this one.
+        # sys.settrace 'line' events fire BEFORE a line runs, so a delta
+        # observed now belongs to the PREVIOUS recorded line.
+        self._pending: Optional[tuple] = None
+
+    def _flush(self):
+        now = _live_bytes()
+        delta = now - self._last
+        if (self._pending is not None and abs(delta) >= self.min_delta
+                and self._out is not None):
+            fname, lineno, func = self._pending
+            self._out.write(
+                f"{fname}:{lineno} ({func}) {delta / 1e6:+.3f}MB "
+                f"total={now / 1e6:.3f}MB\n")
+        self._last = now
 
     def _trace(self, frame, event, arg):
         if event == "call":
             fname = frame.f_code.co_filename
             if self.module_filter and self.module_filter not in fname:
-                return None  # don't trace lines in foreign modules
+                # foreign module: attribute anything it allocates to the
+                # traced line that called into it (still pending), but
+                # don't trace its lines
+                return None
             return self._trace
-        if event == "line":
-            now = _live_bytes()
-            delta = now - self._last
-            if abs(delta) >= self.min_delta and self._out is not None:
-                code = frame.f_code
-                self._out.write(
-                    f"{code.co_filename}:{frame.f_lineno} "
-                    f"({code.co_name}) {delta / 1e6:+.3f}MB "
-                    f"total={now / 1e6:.3f}MB\n")
-            self._last = now
+        if event == "line" or event == "return":
+            self._flush()
+            code = frame.f_code
+            self._pending = (
+                (code.co_filename, frame.f_lineno, code.co_name)
+                if event == "line" else None)
         return self._trace
 
     def __enter__(self):

@@ -162,3 +162,25 @@ def test_bitmap_dedup_matches_sort(rng):
 
     np.testing.assert_allclose(np.asarray(agg(fr_s)), np.asarray(agg(fr_b)),
                                rtol=1e-6)
+
+
+def test_align_drops_missing_keys():
+    """Old keys absent from the new frontier (edge-cap overflow clipped
+    their self-loop) must be DROPPED, not scattered onto other slots —
+    including the prefix[key]-1 == -1 negative-wrap case."""
+    import jax.numpy as jnp
+    from redgnn_tpu.ops.frontier import align_old_to_new, SENTINEL
+
+    new_keys = jnp.asarray([2, 5, SENTINEL, SENTINEL], jnp.int32)
+    old_keys = jnp.asarray([1, 5], jnp.int32)  # key 1 missing (rank -1)
+    old_vals = jnp.asarray([[9.0], [7.0]])
+    key_space = 8
+    present = jnp.zeros(key_space, bool).at[jnp.asarray([2, 5])].set(True)
+    prefix = jnp.cumsum(present.astype(jnp.int32))
+
+    for kp in (None, prefix):
+        out = align_old_to_new(old_keys, new_keys, old_vals, 4,
+                               key_prefix=kp)
+        np.testing.assert_allclose(
+            np.asarray(out), [[0.0], [7.0], [0.0], [0.0]],
+            err_msg=f"key_prefix={'bitmap' if kp is not None else 'sort'}")

@@ -52,7 +52,11 @@ def test_sampling_strategies(setup):
     kg, cfg, model, variables, args, q = setup
     import dataclasses
 
-    for strat in ("uniform", "first", "last", "weighted"):
+    with pytest.raises(ValueError):
+        m_bad = XErte(dataclasses.replace(cfg, sampling="frist"))
+        m_bad.apply(variables, *args)
+
+    for strat in ("uniform", "first", "last", "weighted", "whole"):
         cfg2 = dataclasses.replace(cfg, sampling=strat)
         m2 = XErte(cfg2)
         mass, _ = m2.apply(variables, *args)
