@@ -358,8 +358,16 @@ class TemporalTrainer:
                     from redgnn_tpu.utils.checkpoint import save_latest
 
                     save_latest(self.ckpt_dir, self.state(), epoch, -1.0)
+                    done = min(start + cfg.scan_chunk, nb)
+                    rate = done * cfg.batch_size / max(
+                        time.time() - t0, 1e-9)
+                    print(f"  epoch {epoch}: {done}/{nb} steps, "
+                          f"loss_sum {total:.2f}, {rate:.1f} q/s",
+                          flush=True)
             if not overflow_seen:
                 break
+            print(f"  epoch {epoch}: frontier caps overflowed, "
+                  "recalibrating + replaying", flush=True)
             self.params, self.opt_state, self.rng = snap
             self._recalibrate_exact("train", data, cfg.batch_size)
             caps = self.caps["train"]

@@ -216,3 +216,18 @@ def test_bfloat16_compute_close_to_fp32(rng):
     # bf16 has ~3 decimal digits; scores are O(0.1-1)
     np.testing.assert_allclose(np.asarray(s16), np.asarray(s32),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_dedup_segment_impl_conflicts():
+    from redgnn_tpu.models.redgnn import _resolve_dedup
+    import pytest
+
+    # auto defers to the segment impl's sortedness requirement
+    assert _resolve_dedup("auto", 100, 1000, "scan") == "sort"
+    assert _resolve_dedup("auto", 100, 1000, "pallas") == "sort"
+    assert _resolve_dedup("auto", 100, 1000, "xla") == "bitmap"
+    assert _resolve_dedup("auto", 10**9, 1000, "xla") == "sort"
+    with pytest.raises(ValueError):
+        _resolve_dedup("bitmap", 100, 1000, "scan")
+    with pytest.raises(ValueError):
+        _resolve_dedup("bogus", 100, 1000, "xla")
