@@ -64,6 +64,7 @@ class RelAttnLayer(nn.Module):
     edge_shards: int = 1
     compute_dtype: str = "float32"  # "bfloat16" halves gather/VPU traffic
     edges_sorted: bool = True  # frontier emitted dst-sorted (dedup='sort')
+    mxu_gather_backward: bool = True  # take_rows (off inside shard_map)
 
     @nn.compact
     def __call__(
@@ -106,12 +107,12 @@ class RelAttnLayer(nn.Module):
         rela_c = rela_embed.astype(cdt)
         # Row gathers; the relation-table and per-query lookups use
         # take_rows so their backward is an MXU one-hot contraction
-        # instead of a latency-bound per-edge scatter-add. Inside an
-        # edge-sharded shard_map the custom VJP's replication can't be
-        # statically inferred by the vma checker, so that path keeps the
-        # plain gathers (its backward scatter is already psum-combined).
+        # instead of a latency-bound per-edge scatter-add. Inside ANY
+        # shard_map (data- or edge-sharded) the custom VJP's replication
+        # can't be statically inferred by the vma checker, so those paths
+        # keep the plain gathers (parallel/shard.py clears the flag).
         hs = hidden_c[src]                           # (E, D)
-        if self.edge_axis is None:
+        if self.mxu_gather_backward and self.edge_axis is None:
             hr = take_rows(rela_c, rel)              # (E, D)
             h_qr = take_rows(take_rows(rela_c, q_rel), batch)
         else:

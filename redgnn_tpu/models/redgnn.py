@@ -48,6 +48,10 @@ class ModelConfig:
     # edge-parallel propagation (set inside shard_map; SURVEY.md §5)
     edge_axis: str | None = None
     edge_shards: int = 1
+    # MXU one-hot backward for small-table gathers (ops/gather.take_rows).
+    # Must be OFF inside ANY shard_map: the vma checker cannot statically
+    # infer the custom VJP's replication (parallel/shard.py clears it).
+    mxu_gather_backward: bool = True
 
 
 def _resolve_dedup(dedup_impl: str, key_space: int, edge_cap: int,
@@ -129,6 +133,7 @@ class RedGNN(nn.Module):
                 edge_axis=cfg.edge_axis,
                 edge_shards=cfg.edge_shards,
                 edges_sorted=(dedup == "sort"),
+                mxu_gather_backward=cfg.mxu_gather_backward,
                 name=f"layer_{i}",
             )
             new_hidden = layer(hidden, rels, fr, caps.node_caps[i + 1])

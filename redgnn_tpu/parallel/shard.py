@@ -53,6 +53,8 @@ def make_dp_loss_fn(
         model_cfg,
         edge_axis="edge" if n_edge > 1 else None,
         edge_shards=n_edge,
+        # custom-VJP replication can't be vma-inferred inside shard_map
+        mxu_gather_backward=False,
     )
     model = RedGNN(local_cfg)
 

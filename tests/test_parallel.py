@@ -37,7 +37,7 @@ def setup(rng):
 
 # one parametrization exercising BOTH mesh axes (data- and edge-parallel);
 # more combinations compile for minutes on the virtual CPU mesh
-@pytest.mark.parametrize("n_data,n_edge", [(4, 2)])
+@pytest.mark.parametrize("n_data,n_edge", [(4, 2), (8, 1)])
 def test_dp_matches_single_device(rng, n_data, n_edge):
     graph = setup(rng)
     b_global = 8
