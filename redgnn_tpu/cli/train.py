@@ -77,6 +77,20 @@ def main(argv=None):
                    help="override any config field")
     args = p.parse_args(argv)
 
+    import jax
+
+    # Persistent compilation cache: the tunneled TPU worker dies often
+    # enough that elastic restarts are routine; re-tracing is unavoidable
+    # but XLA compilation (~30s/program over the tunnel) is not.
+    cache_dir = os.environ.get("REDGNN_COMPILE_CACHE",
+                               "/tmp/redgnn_jax_cache")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # older jax without the knobs
+
     from redgnn_tpu.utils.config import dataset_config
     from redgnn_tpu.utils.reporting import ExperimentLogger
     from redgnn_tpu.utils.memory import PeakRSSMonitor, write_memory_report

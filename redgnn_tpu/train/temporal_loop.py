@@ -18,6 +18,7 @@ makes per-batch fetches the dominant cost otherwise).
 
 from __future__ import annotations
 
+import os
 import time
 from collections import defaultdict
 from typing import Any, Dict, List, Optional
@@ -249,8 +250,28 @@ class TemporalTrainer:
         return sums, overflow
 
     # ------------------------------------------------------------------
+    def _caps_cache_path(self, split: str, b: int) -> Optional[str]:
+        if not self.ckpt_dir:
+            return None
+        cfg = self.cfg
+        return os.path.join(
+            self.ckpt_dir,
+            f"caps_{split}_b{b}_h{cfg.cap_headroom}_L{cfg.n_layer}.json")
+
     def _get_caps(self, split: str, data: np.ndarray, b: int) -> FrontierCaps:
         if split not in self.caps:
+            # calibration walks are minutes of host time on large splits;
+            # the flaky tunneled worker forces frequent process restarts,
+            # so persist caps next to the checkpoints and reload
+            path = self._caps_cache_path(split, b)
+            if path and os.path.exists(path):
+                import json as _json
+
+                with open(path) as f:
+                    d = _json.load(f)
+                self.caps[split] = FrontierCaps(
+                    tuple(d["node_caps"]), tuple(d["edge_caps"]))
+                return self.caps[split]
             cfg, kg = self.cfg, self.kg
             if cfg.mode == "extrapolation" and cfg.window is not None:
                 self.caps[split] = calibrate_caps_windowed(
@@ -263,7 +284,20 @@ class TemporalTrainer:
                     kg.graph_np[0], kg.graph_np[2], kg.n_ent, data[:, 0],
                     b, cfg.n_layer, headroom=cfg.cap_headroom,
                 )
+            self._persist_caps(split, b)
         return self.caps[split]
+
+    def _persist_caps(self, split: str, b: int) -> None:
+        path = self._caps_cache_path(split, b)
+        if not path:
+            return
+        import json as _json
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        c = self.caps[split]
+        with open(path, "w") as f:
+            _json.dump({"node_caps": list(c.node_caps),
+                        "edge_caps": list(c.edge_caps)}, f)
 
     def _recalibrate_exact(self, split: str, data: np.ndarray, b: int):
         cfg, kg = self.cfg, self.kg
@@ -283,6 +317,7 @@ class TemporalTrainer:
                 node_caps[i + 1] = max(node_caps[i + 1], _round_up(nc[i + 1] + 8))
                 edge_caps[i] = max(edge_caps[i], _round_up(ec[i] + 8))
         self.caps[split] = FrontierCaps(tuple(node_caps), tuple(edge_caps))
+        self._persist_caps(split, b)
 
     def _batches(self, data: np.ndarray, b: int, rows: Optional[np.ndarray]):
         """Yield (batch, qmask, row_ids) padded to b."""
