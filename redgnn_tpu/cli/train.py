@@ -61,6 +61,11 @@ def main(argv=None):
     p.add_argument("--task", required=True,
                    choices=["transductive", "inductive", "interpolation",
                             "extrapolation"])
+    p.add_argument("--model", default="redgnn",
+                   choices=["redgnn", "xerte", "simple"],
+                   help="extrapolation baselines: xERTE "
+                        "(`Temporal/extrapolation/train.py`) / SimplE "
+                        "(`main_nontemporal.py`)")
     p.add_argument("--data_path", required=True)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--results_dir", default="results")
@@ -136,6 +141,24 @@ def main(argv=None):
             )
         else:
             kg = TemporalKG.load_vocab_dir(args.data_path)
+        if args.model == "xerte":
+            from redgnn_tpu.models.xerte import XErteConfig
+            from redgnn_tpu.train.xerte_loop import XErteTrainer
+
+            xcfg = XErteConfig(n_ent=kg.n_ent, n_rel=kg.idd_rel,
+                               n_time=kg.n_time + 2)
+            trainer = XErteTrainer(kg, xcfg, seed=cfg.seed,
+                                   grad_accum_steps=cfg.grad_accum_steps)
+            best = trainer.fit(epochs=args.epochs or cfg.epochs)
+            print("BEST", json.dumps(best, default=float))
+            return
+        if args.model == "simple":
+            from redgnn_tpu.train.simple_loop import SimplETrainer
+
+            trainer = SimplETrainer(kg, seed=cfg.seed)
+            best = trainer.fit(epochs=args.epochs or cfg.epochs)
+            print("BEST", json.dumps(best, default=float))
+            return
         trainer = TemporalTrainer(kg, cfg)
 
     logger = ExperimentLogger(args.results_dir, dataset, cfg,
@@ -173,7 +196,7 @@ def main(argv=None):
                            ckpt_dir=args.ckpt_dir, start_epoch=start_epoch)
     print(write_memory_report(logger.mem_path, "run", mon.peak_rss_bytes))
     logger.write_perf("BEST " + json.dumps(best))
-    print("BEST", json.dumps(best))
+    print("BEST", json.dumps(best, default=float))
     logger.close()
 
 
