@@ -52,6 +52,11 @@ class ModelConfig:
     # Must be OFF inside ANY shard_map: the vma checker cannot statically
     # infer the custom VJP's replication (parallel/shard.py clears it).
     mxu_gather_backward: bool = True
+    # Prefix-sum backward for the hidden[src] gather in bitmap-dedup hops
+    # (src is non-decreasing in expansion order; ops/gather.take_rows_sorted).
+    # Same shard_map restriction as above. Grad noise O(total*eps) — set
+    # False for strict grad-parity checks.
+    scan_src_backward: bool = True
 
 
 def _resolve_dedup(dedup_impl: str, key_space: int, edge_cap: int,
@@ -134,6 +139,7 @@ class RedGNN(nn.Module):
                 edge_shards=cfg.edge_shards,
                 edges_sorted=(dedup == "sort"),
                 mxu_gather_backward=cfg.mxu_gather_backward,
+                src_sorted=(dedup == "bitmap" and cfg.scan_src_backward),
                 name=f"layer_{i}",
             )
             new_hidden = layer(hidden, rels, fr, caps.node_caps[i + 1])

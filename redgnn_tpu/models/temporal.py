@@ -34,7 +34,7 @@ from flax import linen as nn
 from redgnn_tpu.graph.calibrate import FrontierCaps
 from redgnn_tpu.graph.kg import DeviceGraph
 from redgnn_tpu.models.layers import _uniform_init
-from redgnn_tpu.ops.gather import take_rows
+from redgnn_tpu.ops.gather import take_rows, take_rows_sorted
 from redgnn_tpu.ops.frontier import (
     SENTINEL,
     expand_frontier,
@@ -100,6 +100,9 @@ class TemporalModelConfig:
     # savings); OFF by default — jax.checkpoint programs correlate with
     # axon worker faults (static model without remat runs for hours)
     dedup_impl: str = "bitmap"  # bitmap avoids multi-M-row device sorts
+    # prefix-sum backward for hidden[src] in bitmap hops (src is
+    # non-decreasing in expansion order; ops/gather.take_rows_sorted)
+    scan_src_backward: bool = True
     edge_dropout: float = 0.0  # random per-hop edge drop during training
     # (the interpolation prototype's 50% drop, `RED-GNN/model.py:188-189`)
     # ablations (`Temporal/interpolation/model_cuda_aba.py:14,189,353`)
@@ -253,7 +256,12 @@ class TRedGNN(nn.Module):
 
             def hop_fn(hidden, rela, a1_k, a2_k, src, dst, rel, batch,
                        edge_id, edge_valid, e_time):
-                hs = hidden[src]
+                if dedup == "bitmap" and cfg.scan_src_backward:
+                    # expansion-order src is non-decreasing: backward is a
+                    # prefix-sum segment reduction, not a scatter-add
+                    hs = take_rows_sorted(hidden, src)
+                else:
+                    hs = hidden[src]
                 # take_rows: MXU one-hot backward for the relation table
                 # and the per-query (B-row) lookup instead of per-edge
                 # scatter-adds (falls back to scatter for huge E*R)

@@ -55,6 +55,7 @@ def make_dp_loss_fn(
         edge_shards=n_edge,
         # custom-VJP replication can't be vma-inferred inside shard_map
         mxu_gather_backward=False,
+        scan_src_backward=False,
     )
     model = RedGNN(local_cfg)
 

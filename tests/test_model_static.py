@@ -231,3 +231,44 @@ def test_dedup_segment_impl_conflicts():
         _resolve_dedup("bitmap", 100, 1000, "scan")
     with pytest.raises(ValueError):
         _resolve_dedup("bogus", 100, 1000, "xla")
+
+
+def test_scan_src_backward_grads_match(rng):
+    """Bitmap-dedup hops claim src is non-decreasing in expansion order;
+    the prefix-sum backward of hidden[src] must then reproduce the
+    scatter-add gradients (up to prefix-cancellation noise). A wrong
+    sortedness claim would mis-sum grads wholesale, so this is the
+    end-to-end guard for ops/gather.take_rows_sorted."""
+    import dataclasses
+    triples = make_graph(rng)
+    rowptr, rel, tail = build_csr(triples, N_ENT)
+    graph = DeviceGraph(jnp.asarray(rowptr), jnp.asarray(rel),
+                        jnp.asarray(tail))
+    cfg_on = ModelConfig(n_ent=N_ENT, n_rel=N_REL, hidden_dim=D, attn_dim=A,
+                         n_layer=L, dropout=0.0, dedup_impl="bitmap",
+                         scan_src_backward=True)
+    cfg_off = dataclasses.replace(cfg_on, scan_src_backward=False)
+    b = 4
+    caps = FrontierCaps((b, 256, 256, 256), (2048, 2048, 2048))
+    subs = jnp.asarray(rng.integers(0, N_ENT, b), jnp.int32)
+    rels = jnp.asarray(rng.integers(0, 2 * N_REL, b), jnp.int32)
+    objs = jnp.asarray(rng.integers(0, N_ENT, b), jnp.int32)
+    qmask = jnp.ones(b, bool)
+    key = jax.random.PRNGKey(3)
+    m_on, m_off = RedGNN(cfg_on), RedGNN(cfg_off)
+    variables = m_on.init({"params": key, "dropout": key}, graph, subs,
+                          rels, qmask, caps, False)
+
+    def loss(params, model):
+        scores, _ = model.apply({"params": params}, graph, subs, rels,
+                                qmask, caps, False)
+        logp = jax.nn.log_softmax(scores, axis=-1)
+        return -jnp.mean(logp[jnp.arange(b), objs])
+
+    g_on = jax.grad(loss)(variables["params"], m_on)
+    g_off = jax.grad(loss)(variables["params"], m_off)
+    flat_on = jax.tree_util.tree_leaves(g_on)
+    flat_off = jax.tree_util.tree_leaves(g_off)
+    for a_, b_ in zip(flat_on, flat_off):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)

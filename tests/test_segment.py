@@ -160,3 +160,30 @@ def test_segment_sum_scan_impl_matches_xla(rng):
     import pytest
     with pytest.raises(ValueError):
         segment_sum(jdata, jids, n, indices_are_sorted=False, impl="scan")
+
+
+def test_take_rows_sorted_grad_matches_plain_gather(rng):
+    """take_rows_sorted (prefix-sum backward for non-decreasing indices —
+    the bitmap-frontier hidden[src] gather) must match autodiff of
+    table[idx] in value and gradient, including repeated and skipped rows
+    and a fully-clamped pad tail."""
+    import jax
+    from redgnn_tpu.ops.gather import take_rows_sorted
+
+    table = jnp.asarray(rng.normal(size=(13, 6)), jnp.float32)
+    # non-decreasing with repeats, gaps, and a clamped pad tail at 12
+    idx = np.sort(rng.integers(0, 12, size=90)).astype(np.int32)
+    idx = jnp.asarray(np.concatenate([idx, np.full(10, 12, np.int32)]))
+    w = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+
+    def loss_custom(t):
+        return jnp.sum(jnp.tanh(take_rows_sorted(t, idx)) @ w)
+
+    def loss_plain(t):
+        return jnp.sum(jnp.tanh(t[idx]) @ w)
+
+    np.testing.assert_allclose(
+        np.asarray(take_rows_sorted(table, idx)), np.asarray(table[idx]))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_custom)(table)),
+        np.asarray(jax.grad(loss_plain)(table)), rtol=1e-4, atol=1e-5)
