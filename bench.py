@@ -54,7 +54,16 @@ def main():
 
     wait_for_device()
     kg = StaticKG.load(DATA_DIR)
-    cfg = dataset_config("static_transductive", "family", cap_headroom=1.35)
+    # optional config overrides for A/B runs: bench.py field=value ...
+    overrides = {}
+    for pair in sys.argv[1:]:
+        key, _, raw = pair.partition("=")
+        try:
+            overrides[key] = json.loads(raw)
+        except ValueError:
+            overrides[key] = raw
+    cfg = dataset_config("static_transductive", "family",
+                         cap_headroom=1.35, **overrides)
     trainer = StaticTrainer(kg, cfg)
 
     # one-time tunnel warm-up (first d2h is slow on axon)

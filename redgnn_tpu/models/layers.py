@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from redgnn_tpu.ops.frontier import Frontier
-from redgnn_tpu.ops.gather import take_rows, take_rows_sorted
+from redgnn_tpu.ops.gather import take_rows
 from redgnn_tpu.ops.segment import segment_sum
 
 ACTIVATIONS: dict[str, Callable] = {
@@ -65,12 +65,6 @@ class RelAttnLayer(nn.Module):
     compute_dtype: str = "float32"  # "bfloat16" halves gather/VPU traffic
     edges_sorted: bool = True  # frontier emitted dst-sorted (dedup='sort')
     mxu_gather_backward: bool = True  # take_rows (off inside shard_map)
-    # bitmap-dedup frontiers emit edges in expansion order, where src is
-    # non-decreasing (cummax construction) — the hidden[src] backward can
-    # then be a prefix-sum segment reduction instead of a scatter-add
-    # (ops/gather.take_rows_sorted). Cleared inside shard_map like
-    # mxu_gather_backward (custom-VJP vma inference).
-    src_sorted: bool = False
 
     @nn.compact
     def __call__(
@@ -117,8 +111,11 @@ class RelAttnLayer(nn.Module):
         # shard_map (data- or edge-sharded) the custom VJP's replication
         # can't be statically inferred by the vma checker, so those paths
         # keep the plain gathers (parallel/shard.py clears the flag).
-        if self.src_sorted and self.edge_axis is None:
-            hs = take_rows_sorted(hidden_c, src)     # (E, D)
+        if frontier.src_values is not None and self.edge_axis is None:
+            # h_src was fetched inside the frontier's fused metadata
+            # gather, whose backward is a scatter-free range difference
+            # of the gradient prefix sum (ops/gather.gather_rows_packed)
+            hs = frontier.src_values.astype(cdt)     # (E, D)
         else:
             hs = hidden_c[src]                       # (E, D)
         if self.mxu_gather_backward and self.edge_axis is None:

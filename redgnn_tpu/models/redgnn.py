@@ -52,10 +52,12 @@ class ModelConfig:
     # Must be OFF inside ANY shard_map: the vma checker cannot statically
     # infer the custom VJP's replication (parallel/shard.py clears it).
     mxu_gather_backward: bool = True
-    # Prefix-sum backward for the hidden[src] gather in bitmap-dedup hops
-    # (src is non-decreasing in expansion order; ops/gather.take_rows_sorted).
-    # Same shard_map restriction as above. Grad noise O(total*eps) — set
-    # False for strict grad-parity checks.
+    # Fuse the hidden[src] gather into the frontier's metadata row gather
+    # (one packed gather instead of two) and differentiate it as a
+    # scatter-free range difference of the gradient prefix sum
+    # (ops/gather.gather_rows_packed). Bitmap-dedup hops only; same
+    # shard_map restriction as above. Grad noise O(total*eps) — set False
+    # for strict grad-parity checks.
     scan_src_backward: bool = True
 
 
@@ -127,6 +129,10 @@ class RedGNN(nn.Module):
                 node_cap=caps.node_caps[i + 1],
                 dedup_impl=dedup,
                 key_space=b * cfg.n_ent,
+                # fetch h_src inside the expansion's metadata row gather
+                # (one fused gather instead of two; prefix-sum backward)
+                node_values=(hidden if dedup == "bitmap"
+                             and cfg.scan_src_backward else None),
             )
             layer = RelAttnLayer(
                 hidden_dim=cfg.hidden_dim,
@@ -139,7 +145,6 @@ class RedGNN(nn.Module):
                 edge_shards=cfg.edge_shards,
                 edges_sorted=(dedup == "sort"),
                 mxu_gather_backward=cfg.mxu_gather_backward,
-                src_sorted=(dedup == "bitmap" and cfg.scan_src_backward),
                 name=f"layer_{i}",
             )
             new_hidden = layer(hidden, rels, fr, caps.node_caps[i + 1])

@@ -34,7 +34,7 @@ from flax import linen as nn
 from redgnn_tpu.graph.calibrate import FrontierCaps
 from redgnn_tpu.graph.kg import DeviceGraph
 from redgnn_tpu.models.layers import _uniform_init
-from redgnn_tpu.ops.gather import take_rows, take_rows_sorted
+from redgnn_tpu.ops.gather import take_rows
 from redgnn_tpu.ops.frontier import (
     SENTINEL,
     expand_frontier,
@@ -230,6 +230,8 @@ class TRedGNN(nn.Module):
                     dedup_impl=dedup,
                     key_space=b * cfg.n_ent,
                     etime=etime,
+                    node_values=(hidden if dedup == "bitmap"
+                                 and cfg.scan_src_backward else None),
                 )
             else:
                 fr = expand_frontier(
@@ -240,6 +242,8 @@ class TRedGNN(nn.Module):
                     dedup_impl=dedup,
                     key_space=b * cfg.n_ent,
                     etime=etime,
+                    node_values=(hidden if dedup == "bitmap"
+                                 and cfg.scan_src_backward else None),
                 )
             rela = self.param(
                 f"rela_embed_{i}", nn.initializers.xavier_uniform(),
@@ -255,11 +259,11 @@ class TRedGNN(nn.Module):
             node_cap_i = caps.node_caps[i + 1]
 
             def hop_fn(hidden, rela, a1_k, a2_k, src, dst, rel, batch,
-                       edge_id, edge_valid, e_time):
-                if dedup == "bitmap" and cfg.scan_src_backward:
-                    # expansion-order src is non-decreasing: backward is a
-                    # prefix-sum segment reduction, not a scatter-add
-                    hs = take_rows_sorted(hidden, src)
+                       edge_id, edge_valid, e_time, src_vals):
+                if src_vals is not None:
+                    # h_src came fused with the frontier's metadata gather
+                    # (scatter-free range-difference backward)
+                    hs = src_vals
                 else:
                     hs = hidden[src]
                 # take_rows: MXU one-hot backward for the relation table
@@ -324,7 +328,7 @@ class TRedGNN(nn.Module):
                 edge_valid = edge_valid & keep
             hidden = hop_fn(hidden, rela, a1_k, a2_k, fr.src, fr.dst,
                             fr.rel, fr.batch, fr.edge_id, edge_valid,
-                            fr.time)
+                            fr.time, fr.src_values)
             node_keys = fr.node_keys
 
             aux["edge_overflow"].append(fr.edge_overflow)

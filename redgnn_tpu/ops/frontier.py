@@ -30,6 +30,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from redgnn_tpu.ops.gather import gather_rows_packed
+
 # Padding key. Max int32 so that padded entries sort to the end.
 SENTINEL = jnp.iinfo(jnp.int32).max
 
@@ -65,6 +67,12 @@ class Frontier(NamedTuple):
     # --- per-edge timestamp (temporal graphs only; fetched in the same
     # fused attribute row gather as rel/tail)
     time: jnp.ndarray | None = None
+    # --- per-edge source-node values (e.g. hidden states), fetched inside
+    # the SAME row gather as the per-node expansion metadata when
+    # ``node_values`` is passed (bitmap dedup only — expansion order).
+    # Differentiable w.r.t. the node_values argument
+    # (ops/gather.gather_rows_packed custom VJP).
+    src_values: jnp.ndarray | None = None
 
 
 def expand_frontier(
@@ -79,6 +87,7 @@ def expand_frontier(
     dedup_impl: str = "sort",
     key_space: int | None = None,
     etime: jnp.ndarray | None = None,
+    node_values: jnp.ndarray | None = None,
 ) -> Frontier:
     """Expand one hop: gather all edges whose head is in the frontier.
 
@@ -106,6 +115,7 @@ def expand_frontier(
         erel, etail, n_ent, node_keys, row_start, deg, edge_cap, node_cap,
         extra_edge_slot=None, edge_mask_fn=edge_mask_fn,
         dedup_impl=dedup_impl, key_space=key_space, etime=etime,
+        node_values=node_values,
     )
 
 
@@ -123,6 +133,11 @@ def expand_frontier_ranges(
     dedup_impl: str = "sort",
     key_space: int | None = None,  # B * n_ent, required for 'bitmap'
     etime: jnp.ndarray | None = None,  # (n_edges,) timestamps (temporal)
+    node_values: jnp.ndarray | None = None,  # (prev_cap, D) float — per-node
+    # values (hidden states) to fetch per edge inside the SAME row gather
+    # as the expansion metadata; bitmap dedup only (expansion order keeps
+    # the rows aligned; the sort scheme would re-permute them, costing the
+    # gather back)
 ) -> Frontier:
     """Core expansion over per-node edge ranges.
 
@@ -175,13 +190,22 @@ def expand_frontier_ranges(
     # row gather, and the (rel, tail) columns of the graph are fetched as
     # one 2-wide row (the stacks are loop-invariant: XLA hoists them out
     # of the epoch scan).
+    if node_values is not None and dedup_impl != "bitmap":
+        # the sort scheme permutes edges by destination afterwards, which
+        # would cost the fused gather back as a payload permutation —
+        # callers fall back to their own hidden[src] gather
+        node_values = None
     base = jnp.where(valid_node, node_keys - ent, 0).astype(jnp.int32)
     if extra_edge_slot is not None:
         node_tab = jnp.stack(
             [start.astype(jnp.int32), row_start.astype(jnp.int32),
              deg.astype(jnp.int32), extra_edge_slot.astype(jnp.int32),
              base], axis=1)
-        rows = node_tab[src_c]
+        if node_values is not None:
+            rows, src_values = gather_rows_packed(node_tab, node_values,
+                                                  src_c, start, deg_eff)
+        else:
+            rows, src_values = node_tab[src_c], None
         within = e_idx - rows[:, 0]
         edge_id = jnp.where(within < rows[:, 2], rows[:, 1] + within,
                             rows[:, 3])
@@ -189,7 +213,11 @@ def expand_frontier_ranges(
     else:
         node_tab = jnp.stack(
             [(row_start - start).astype(jnp.int32), base], axis=1)
-        rows = node_tab[src_c]
+        if node_values is not None:
+            rows, src_values = gather_rows_packed(node_tab, node_values,
+                                                  src_c, start, deg_eff)
+        else:
+            rows, src_values = node_tab[src_c], None
         edge_id = e_idx + rows[:, 0]
         base_e = rows[:, 1]
     edge_id = jnp.where(edge_valid, edge_id, 0)
@@ -238,6 +266,7 @@ def expand_frontier_ranges(
             key_prefix=prefix,
             time=(None if time_e is None
                   else jnp.where(edge_valid_b, time_e, 0)),
+            src_values=src_values,
         )
 
     # Deduplicate destination keys: sort + adjacent-compare. Stable sort keeps

@@ -85,6 +85,7 @@ class StaticTrainer:
             attn_dim=cfg.attn_dim, n_layer=cfg.n_layer, dropout=cfg.dropout,
             act=cfg.act, segment_impl=cfg.segment_impl,
             compute_dtype=cfg.compute_dtype, dedup_impl=cfg.dedup_impl,
+            scan_src_backward=cfg.scan_src_backward,
         )
         self.model = RedGNN(self.model_cfg)
 

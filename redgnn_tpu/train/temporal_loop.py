@@ -78,6 +78,7 @@ class TemporalTrainer:
             time_key_base=kg.time_key_base,
             n_frequencies=cfg.n_frequencies,
             segment_impl=cfg.segment_impl,
+            scan_src_backward=cfg.scan_src_backward,
         )
         self.model = TRedGNN(self.model_cfg)
 

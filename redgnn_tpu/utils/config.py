@@ -32,6 +32,7 @@ class TrainConfig:
     segment_impl: str = "xla"
     compute_dtype: str = "float32"  # "bfloat16" for bandwidth-bound graphs
     dedup_impl: str = "auto"  # 'sort' | 'bitmap' | 'auto' (see models/redgnn.py)
+    scan_src_backward: bool = True  # prefix-sum hidden[src] backward
     cap_headroom: float = 1.2
     scan_chunk: int = 256  # max steps per device dispatch (watchdog bound)
 
@@ -127,6 +128,7 @@ class TemporalTrainConfig:
     seed: int = 1234
     # TPU-specific
     segment_impl: str = "xla"
+    scan_src_backward: bool = True  # prefix-sum hidden[src] backward
     cap_headroom: float = 1.2
     scan_chunk: int = 16  # max steps per device dispatch; the tunneled
     # worker dies when a single execution runs much past ~1 minute

@@ -187,3 +187,65 @@ def test_take_rows_sorted_grad_matches_plain_gather(rng):
     np.testing.assert_allclose(
         np.asarray(jax.grad(loss_custom)(table)),
         np.asarray(jax.grad(loss_plain)(table)), rtol=1e-4, atol=1e-5)
+
+
+def test_gather_rows_packed_matches_separate_gathers(rng):
+    """The fused (metadata ‖ bitcast values) row gather must reproduce the
+    two separate gathers exactly (bitcast roundtrip is bit-exact) and its
+    range-difference backward must match plain-gather autodiff, including
+    empty ranges and a padded tail holding the last index."""
+    import jax
+    from redgnn_tpu.ops.gather import gather_rows_packed
+
+    p = 11
+    meta = jnp.asarray(rng.integers(-5, 2**30, size=(p, 3)), jnp.int32)
+    vals = jnp.asarray(rng.normal(size=(p, 7)), jnp.float32)
+    # CSR-style layout: each row owns a contiguous (possibly empty) range
+    count = rng.integers(0, 6, size=p).astype(np.int32)
+    start = (np.cumsum(count) - count).astype(np.int32)
+    total = int(count.sum())
+    e_cap = total + 9  # padded tail
+    idx_np = np.repeat(np.arange(p, dtype=np.int32), count)
+    idx_np = np.concatenate(
+        [idx_np, np.full(e_cap - total, idx_np[-1] if total else 0,
+                         np.int32)])
+    idx = jnp.asarray(idx_np)
+    start_j, count_j = jnp.asarray(start), jnp.asarray(count)
+
+    m_rows, v_rows = gather_rows_packed(meta, vals, idx, start_j, count_j)
+    np.testing.assert_array_equal(np.asarray(m_rows),
+                                  np.asarray(meta)[idx_np])
+    np.testing.assert_array_equal(np.asarray(v_rows),
+                                  np.asarray(vals)[idx_np])
+
+    w = jnp.asarray(rng.normal(size=(7,)), jnp.float32)
+    # zero out the padded tail, as the frontier's message masking does —
+    # pad slots lie outside every range so they must not contribute
+    tail_mask = jnp.asarray(
+        (np.arange(e_cap) < total)[:, None].astype(np.float32))
+
+    def loss_fused(v):
+        _, rows = gather_rows_packed(meta, v, idx, start_j, count_j)
+        return jnp.sum((jnp.tanh(rows) * tail_mask) @ w)
+
+    def loss_plain(v):
+        return jnp.sum((jnp.tanh(v[idx]) * tail_mask) @ w)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_fused)(vals)),
+        np.asarray(jax.grad(loss_plain)(vals)), rtol=1e-4, atol=1e-5)
+
+    # ranges clipped by e_cap degrade to partial sums, never corruption
+    idx_clip = jnp.asarray(idx_np[: max(total - 2, 1)])
+    mask_c = tail_mask[: max(total - 2, 1)]
+
+    def loss_clip(v):
+        _, rows = gather_rows_packed(meta, v, idx_clip, start_j, count_j)
+        return jnp.sum((jnp.tanh(rows) * mask_c) @ w)
+
+    def loss_clip_plain(v):
+        return jnp.sum((jnp.tanh(v[idx_clip]) * mask_c) @ w)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_clip)(vals)),
+        np.asarray(jax.grad(loss_clip_plain)(vals)), rtol=1e-4, atol=1e-5)
