@@ -80,9 +80,17 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--set", nargs="*", metavar="FIELD=VALUE",
                    help="override any config field")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a jax backend (the axon tunnel plugin "
+                        "overrides JAX_PLATFORMS, so --platform cpu is the "
+                        "only reliable way to train on host CPU while the "
+                        "single TPU chip is busy with another run)")
     args = p.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     # Persistent compilation cache: the tunneled TPU worker dies often
     # enough that elastic restarts are routine; re-tracing is unavoidable
