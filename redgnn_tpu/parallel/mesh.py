@@ -20,8 +20,9 @@ from __future__ import annotations
 import jax
 
 
-def make_mesh(n_data: int = 1, n_edge: int = 1) -> jax.sharding.Mesh:
-    devices = jax.devices()
+def make_mesh(n_data: int = 1, n_edge: int = 1,
+              devices=None) -> jax.sharding.Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
     need = n_data * n_edge
     if len(devices) < need:
         raise ValueError(
