@@ -137,7 +137,15 @@ def main(argv=None):
             cfg = dataclasses.replace(cfg, mode="extrapolation", window=120)
         if args.seed is not None:
             cfg = dataclasses.replace(cfg, seed=args.seed)
-        cfg = parse_overrides(args.set, cfg)
+        set_pairs = list(args.set or [])
+        if args.model == "xerte":
+            # --set keys split between the trainer config and XErteConfig
+            xerte_pairs = [p for p in set_pairs
+                           if not hasattr(cfg, p.partition("=")[0])]
+            set_pairs = [p for p in set_pairs
+                         if hasattr(cfg, p.partition("=")[0])]
+        cfg_registry = cfg  # pre-override values, to detect explicit sets
+        cfg = parse_overrides(set_pairs, cfg)
         id_based = os.path.exists(
             os.path.join(args.data_path, "entity2id.txt"))
         if id_based:
@@ -155,19 +163,22 @@ def main(argv=None):
 
             xcfg = XErteConfig(n_ent=kg.n_ent, n_rel=kg.idd_rel,
                                n_time=kg.n_time + 2)
+            xcfg = parse_overrides(xerte_pairs, xcfg)
+            # trainer knobs default to the reference xERTE values
+            # (lr 1e-3, batch 128) unless explicitly --set
+            kwargs = {}
+            for field in ("lr", "batch_size"):
+                if getattr(cfg, field) != getattr(cfg_registry, field):
+                    kwargs[field] = getattr(cfg, field)
             trainer = XErteTrainer(kg, xcfg, seed=cfg.seed,
-                                   grad_accum_steps=cfg.grad_accum_steps)
-            best = trainer.fit(epochs=args.epochs or cfg.epochs)
-            print("BEST", json.dumps(best, default=float))
-            return
-        if args.model == "simple":
+                                   grad_accum_steps=cfg.grad_accum_steps,
+                                   **kwargs)
+        elif args.model == "simple":
             from redgnn_tpu.train.simple_loop import SimplETrainer
 
             trainer = SimplETrainer(kg, seed=cfg.seed)
-            best = trainer.fit(epochs=args.epochs or cfg.epochs)
-            print("BEST", json.dumps(best, default=float))
-            return
-        trainer = TemporalTrainer(kg, cfg)
+        else:
+            trainer = TemporalTrainer(kg, cfg)
 
     logger = ExperimentLogger(args.results_dir, dataset, cfg,
                               sqlite_path=args.sqlite)
@@ -189,6 +200,10 @@ def main(argv=None):
             state, start_epoch, _ = latest
             trainer.params = state["params"]
             trainer.opt_state = state["opt_state"]
+            if hasattr(trainer, "restore_host"):
+                # plateau counters / live lr / rng from the JSON sidecar
+                trainer.restore_host(
+                    os.path.join(args.ckpt_dir, "latest.msgpack"))
             print(f"resuming from latest checkpoint at epoch {start_epoch}")
 
     if args.eval_only:

@@ -212,19 +212,13 @@ class StaticKG:
             _double(graph_triples, self.n_rel), self.n_ent, self.idd_rel
         )
         self.graph_np = build_csr(g, self.n_ent)
-        if self.graph is None:
-            self.graph = DeviceGraph(
-                jnp.asarray(self.graph_np[0]),
-                jnp.asarray(self.graph_np[1]),
-                jnp.asarray(self.graph_np[2]),
-            )
-        else:
-            # donate-in-place style refresh: same shapes, no re-compile
-            self.graph = DeviceGraph(
-                jnp.asarray(self.graph_np[0]),
-                jnp.asarray(self.graph_np[1]),
-                jnp.asarray(self.graph_np[2]),
-            )
+        # per-epoch refresh keeps the same shapes (the 3:1 split is
+        # deterministic in the pool size), so compiled programs are reused
+        self.graph = DeviceGraph(
+            jnp.asarray(self.graph_np[0]),
+            jnp.asarray(self.graph_np[1]),
+            jnp.asarray(self.graph_np[2]),
+        )
 
     def resplit(self, rng: np.random.Generator) -> None:
         """Per-epoch random 3:1 facts/train re-split (`load_data.py:152-164`).

@@ -33,13 +33,17 @@ ACTIVATIONS: dict[str, Callable] = {
 }
 
 
-def _uniform_init(scale_from_fan_in: bool = True):
-    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — the torch nn.Linear default,
-    kept so hyperparameters tuned against the reference transfer."""
+def _uniform_init(fan_in: int | None = None):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — the torch nn.Linear/GRU default,
+    kept so hyperparameters tuned against the reference transfer.
+
+    For 2-D kernels the fan-in is ``shape[0]`` (flax kernels are
+    (in, out)). For 1-D biases torch scales by the WEIGHT's in_features,
+    which a bias shape cannot reveal — pass ``fan_in`` explicitly."""
 
     def init(key, shape, dtype=jnp.float32):
-        fan_in = shape[0] if len(shape) > 1 else shape[0]
-        bound = 1.0 / jnp.sqrt(fan_in)
+        f = fan_in if fan_in is not None else shape[0]
+        bound = 1.0 / jnp.sqrt(jnp.asarray(f, jnp.float32))
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 
     return init
@@ -85,9 +89,11 @@ class RelAttnLayer(nn.Module):
                       kernel_init=_uniform_init(), name="Wr_attn")
         wqr = nn.Dense(self.attn_dim, use_bias=True,
                        kernel_init=_uniform_init(),
-                       bias_init=_uniform_init(), name="Wqr_attn")
+                       bias_init=_uniform_init(self.hidden_dim),
+                       name="Wqr_attn")
         w_alpha = nn.Dense(1, use_bias=True, kernel_init=_uniform_init(),
-                           bias_init=_uniform_init(), name="w_alpha")
+                           bias_init=_uniform_init(self.attn_dim),
+                           name="w_alpha")
         w_h = nn.Dense(self.hidden_dim, use_bias=False,
                        kernel_init=_uniform_init(), name="W_h")
 
@@ -162,8 +168,8 @@ class GRUGate(nn.Module):
         d = self.hidden_dim
         w_ih = self.param("w_ih", _uniform_init(), (d, 3 * d))
         w_hh = self.param("w_hh", _uniform_init(), (d, 3 * d))
-        b_ih = self.param("b_ih", _uniform_init(), (3 * d,))
-        b_hh = self.param("b_hh", _uniform_init(), (3 * d,))
+        b_ih = self.param("b_ih", _uniform_init(d), (3 * d,))
+        b_hh = self.param("b_hh", _uniform_init(d), (3 * d,))
 
         gi = x @ w_ih + b_ih
         gh = h @ w_hh + b_hh

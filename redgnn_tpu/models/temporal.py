@@ -75,7 +75,7 @@ class PeriodicTimeEmbedding(nn.Module):
         )
         k2 = 2 * self.n_frequencies
         w = self.param("w", _uniform_init(), (k2, self.d_embedding))
-        b = self.param("b", _uniform_init(), (self.d_embedding,))
+        b = self.param("b", _uniform_init(k2), (self.d_embedding,))
         z = 2.0 * jnp.pi * x[:, None] * freq[None, :]
         feats = jnp.concatenate([jnp.cos(z), jnp.sin(z)], axis=-1)
         return jax.nn.relu(feats @ w + b)
@@ -153,7 +153,7 @@ class TRedGNN(nn.Module):
                     key, -3.0, 3.0, shape),
                 (k,))
             t_w = self.param("time_w", _uniform_init(), (2 * k, d))
-            t_b = self.param("time_b", _uniform_init(), (d,))
+            t_b = self.param("time_b", _uniform_init(2 * k), (d,))
 
             def time_embed(x):
                 z = 2.0 * jnp.pi * x[:, None] * t_freq[None, :]
@@ -337,7 +337,7 @@ class TRedGNN(nn.Module):
             aux["num_edges"].append(fr.num_edges)
 
         cls_w = self.param("classifier_w", _uniform_init(), (d, 1))
-        cls_b = self.param("classifier_b", _uniform_init(), (1,))
+        cls_b = self.param("classifier_b", _uniform_init(d), (1,))
         scores = (hidden @ cls_w + cls_b)[:, 0]
 
         valid = node_keys != SENTINEL

@@ -70,6 +70,12 @@ class XErteConfig:
     sampling: str = "weighted"
     weight_factor: float = 2.0
     use_time_embedding: bool = True
+    # visited-set capacity multiplier. The per-step budget assumes the
+    # PRUNED frontier (max_attended_edges new nodes/query/step), but keys
+    # are inserted before pruning, so degree-skewed batches can exceed it;
+    # the trainer grows this geometrically on aux['node_overflow'] and
+    # replays (same recalibrate+replay contract as ops/frontier callers).
+    cap_factor: float = 1.0
 
     @property
     def node_key_base(self) -> int:
@@ -77,7 +83,7 @@ class XErteConfig:
 
     def visited_cap(self, step: int, batch: int) -> int:
         """Static visited-node capacity entering step ``step``."""
-        per_step = batch * self.max_attended_edges
+        per_step = int(batch * self.max_attended_edges * self.cap_factor)
         return batch + per_step * step
 
     def edge_cap(self, batch: int) -> int:

@@ -125,9 +125,6 @@ class StaticTrainer:
         self._np_rng = np.random.default_rng(cfg.seed)
         self.history: List[Dict[str, Any]] = []
 
-        self._train_step = jax.jit(
-            self._train_step_impl, static_argnames=("caps",)
-        )
         # NOTE: no buffer donation — the overflow-replay path restores the
         # epoch-start params, which donation would have invalidated.
         self._train_epoch_scan = jax.jit(
@@ -386,10 +383,27 @@ class StaticTrainer:
     def state(self) -> Dict[str, Any]:
         return {"params": self.params, "opt_state": self.opt_state}
 
+    def host_state(self) -> Dict[str, Any]:
+        # the numpy rng drives the per-epoch 3:1 graph re-split; carrying
+        # it across elastic restarts keeps the split sequence identical
+        return {"np_rng": self._np_rng.bit_generator.state}
+
+    def restore_host(self, ckpt_path: str) -> None:
+        from redgnn_tpu.utils.checkpoint import load_host
+
+        host = load_host(ckpt_path)
+        if host is None:
+            return
+        try:
+            self._np_rng.bit_generator.state = host["np_rng"]
+        except (KeyError, ValueError):
+            pass
+
     def save(self, ckpt_dir: str, epoch: int, metric: float) -> str:
         from redgnn_tpu.utils.checkpoint import save_checkpoint
 
-        return save_checkpoint(ckpt_dir, self.state(), epoch, metric)
+        return save_checkpoint(ckpt_dir, self.state(), epoch, metric,
+                               host=self.host_state())
 
     def restore(self, path: str) -> int:
         from redgnn_tpu.utils.checkpoint import load_checkpoint
@@ -397,6 +411,7 @@ class StaticTrainer:
         state, epoch, _ = load_checkpoint(path, self.state())
         self.params = state["params"]
         self.opt_state = state["opt_state"]
+        self.restore_host(path)
         return epoch
 
     def fit(self, epochs: Optional[int] = None, log=print,
@@ -435,8 +450,11 @@ class StaticTrainer:
                     f"H@1:{tm['h1']:.4f} H@10:{tm['h10']:.4f}"
                 )
             self.history.append(row)
-            if ckpt_dir:
-                save_latest(ckpt_dir, self.state(), epoch + 1,
-                            row.get("valid_mrr", -1.0))
             self.kg.resplit(self._np_rng)
+            if ckpt_dir:
+                # after the resplit so the restored rng continues the
+                # same split sequence on resume
+                save_latest(ckpt_dir, self.state(), epoch + 1,
+                            row.get("valid_mrr", -1.0),
+                            host=self.host_state())
         return best

@@ -99,18 +99,64 @@ class SimplETrainer:
                 "h3": sums["h3_sum"] / n, "h10": sums["h10_sum"] / n,
                 "n": n}
 
-    def fit(self, epochs: int = 20, log=print) -> Dict[str, Any]:
+    # -- checkpointing (same scheme as the main trainers) ---------------
+    def state(self) -> Dict[str, Any]:
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def host_state(self) -> Dict[str, Any]:
+        return {"np_rng": self._np_rng.bit_generator.state}
+
+    def restore_host(self, ckpt_path: str) -> None:
+        from redgnn_tpu.utils.checkpoint import load_host
+
+        host = load_host(ckpt_path)
+        if host is None:
+            return
+        try:
+            self._np_rng.bit_generator.state = host["np_rng"]
+        except (KeyError, ValueError):
+            pass
+
+    def save(self, ckpt_dir: str, epoch: int, metric: float) -> str:
+        from redgnn_tpu.utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(ckpt_dir, self.state(), epoch, metric,
+                               host=self.host_state())
+
+    def restore(self, path: str) -> int:
+        from redgnn_tpu.utils.checkpoint import load_checkpoint
+
+        state, epoch, _ = load_checkpoint(path, self.state())
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.restore_host(path)
+        return epoch
+
+    def fit(self, epochs=None, log=print, logger=None,
+            ckpt_dir=None, start_epoch: int = 0) -> Dict[str, Any]:
+        from redgnn_tpu.utils.checkpoint import save_latest
+
+        epochs = epochs or 20
         best = {"valid_mrr": -1.0}
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             loss = self.train_epoch(epoch)
             vm = self.evaluate("valid")
             row = {"epoch": epoch, "loss": loss,
                    **{f"valid_{k}": v for k, v in vm.items()}}
+            if logger is not None:
+                logger.log_scalars(epoch, {k: v for k, v in row.items()
+                                           if isinstance(v, (int, float))},
+                                   tag="eval")
             if vm["mrr"] > best["valid_mrr"]:
                 tm = self.evaluate("test")
                 row.update({f"test_{k}": v for k, v in tm.items()})
                 best = dict(row, valid_mrr=vm["mrr"])
+                if ckpt_dir:
+                    self.save(ckpt_dir, epoch, vm["mrr"])
             self.history.append(row)
+            if ckpt_dir:
+                save_latest(ckpt_dir, self.state(), epoch + 1, vm["mrr"],
+                            host=self.host_state())
             log(f"simple epoch {epoch} loss {loss:.2f} "
                 f"valid MRR {vm['mrr']:.4f}")
         return best

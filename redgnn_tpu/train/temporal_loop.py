@@ -127,10 +127,6 @@ class TemporalTrainer:
         self._np_rng = np.random.default_rng(cfg.seed)
         self.history: List[Dict[str, Any]] = []
 
-        self._train_step = jax.jit(self._train_step_impl,
-                                   static_argnames=("caps",))
-        self._eval_step = jax.jit(self._eval_step_impl,
-                                  static_argnames=("caps",))
         if cfg.mode == "extrapolation":
             self._eval_step_ex = jax.jit(self._eval_step_ex_impl,
                                          static_argnames=("caps",))
@@ -393,7 +389,8 @@ class TemporalTrainer:
                 if self.ckpt_dir and (start // cfg.scan_chunk) % 8 == 7:
                     from redgnn_tpu.utils.checkpoint import save_latest
 
-                    save_latest(self.ckpt_dir, self.state(), epoch, -1.0)
+                    save_latest(self.ckpt_dir, self.state(), epoch, -1.0,
+                                host=self.host_state())
                     done = min(start + cfg.scan_chunk, nb)
                     rate = done * cfg.batch_size / max(
                         time.time() - t0, 1e-9)
@@ -531,12 +528,59 @@ class TemporalTrainer:
             state.hyperparams["learning_rate"] = jnp.asarray(self._lr)
 
     def state(self) -> Dict[str, Any]:
+        """Device state (msgpack). Host-side training state — plateau
+        counters, rng — travels in the checkpoint's JSON sidecar
+        (host_state / restore_host)."""
         return {"params": self.params, "opt_state": self.opt_state}
+
+    def host_state(self) -> Dict[str, Any]:
+        return {
+            "lr": float(self._lr),
+            "plateau_best": float(self._plateau_best),
+            "plateau_bad": int(self._plateau_bad),
+            "np_rng": self._np_rng.bit_generator.state,
+            "jax_rng": np.asarray(jax.device_get(self.rng)).tolist(),
+        }
+
+    def restore_host(self, ckpt_path: str) -> None:
+        """Re-apply host-side training state after ``restore``.
+
+        Falls back to deriving the live learning rate from the restored
+        optimizer hyperparams (checkpoints written before the sidecar
+        existed) — without this, the next plateau event would multiply
+        the CONFIG lr, jumping the rate back UP mid-training."""
+        from redgnn_tpu.utils.checkpoint import load_host
+
+        host = load_host(ckpt_path)
+        if host is None:
+            self._sync_lr_from_opt()
+            return
+        self._lr = float(host["lr"])
+        self._plateau_best = float(host["plateau_best"])
+        self._plateau_bad = int(host["plateau_bad"])
+        try:
+            self._np_rng.bit_generator.state = host["np_rng"]
+        except (KeyError, ValueError):
+            pass
+        if "jax_rng" in host:
+            self.rng = jnp.asarray(np.asarray(host["jax_rng"],
+                                              np.uint32))
+
+    def _sync_lr_from_opt(self) -> None:
+        state = self.opt_state
+        if hasattr(state, "inner_opt_state"):  # MultiSteps wrapper
+            state = state.inner_opt_state
+        try:
+            self._lr = float(
+                jax.device_get(state.hyperparams["learning_rate"]))
+        except (AttributeError, KeyError, TypeError):
+            pass
 
     def save(self, ckpt_dir: str, epoch: int, metric: float) -> str:
         from redgnn_tpu.utils.checkpoint import save_checkpoint
 
-        return save_checkpoint(ckpt_dir, self.state(), epoch, metric)
+        return save_checkpoint(ckpt_dir, self.state(), epoch, metric,
+                               host=self.host_state())
 
     def restore(self, path: str) -> int:
         from redgnn_tpu.utils.checkpoint import load_checkpoint
@@ -544,6 +588,7 @@ class TemporalTrainer:
         state, epoch, _ = load_checkpoint(path, self.state())
         self.params = state["params"]
         self.opt_state = state["opt_state"]
+        self.restore_host(path)
         return epoch
 
     def fit(self, epochs: Optional[int] = None, log=print, logger=None,
@@ -572,7 +617,8 @@ class TemporalTrainer:
                     self.save(ckpt_dir, epoch, vm["h1"])
             self.history.append(row)
             if ckpt_dir:
-                save_latest(ckpt_dir, self.state(), epoch + 1, vm["h1"])
+                save_latest(ckpt_dir, self.state(), epoch + 1, vm["h1"],
+                            host=self.host_state())
             log(f"epoch {epoch} loss {loss:.3f} valid MRR {vm['mrr']:.4f} "
                 f"H@1 {vm['h1']:.4f} H@10 {vm['h10']:.4f} lr {self._lr:.2e}")
         return best

@@ -5,10 +5,17 @@ Adam, BCE on per-entity attention mass vs the one-hot answer
 (`model.py:545-570`), raw/filtered/time-filtered segment ranking over the
 final attended entities (`eval.py` -> `segment.py:346-387`), gradient
 accumulation flag, best checkpoint on valid MRR.
+
+The model's visited-node set has a static capacity (XErteConfig.cap_factor
+x the pruned-frontier budget); the model reports insertion overflow in
+``aux['node_overflow']`` and the trainer reacts with the framework-wide
+contract: restore the epoch snapshot, grow the capacity geometrically,
+recompile, replay — never train or rank on silently-clamped frontiers.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from collections import defaultdict
 from typing import Any, Dict, List, Optional
@@ -51,9 +58,18 @@ class XErteTrainer:
                         kg.ekey)
         self._step_counter = 0
         self.history: List[Dict[str, Any]] = []
+        self._jit_steps()
 
+    def _jit_steps(self) -> None:
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+
+    def _grow_caps(self) -> None:
+        """Double the visited-set capacity and recompile (overflow path)."""
+        self.cfg = dataclasses.replace(self.cfg,
+                                       cap_factor=self.cfg.cap_factor * 2)
+        self.model = XErte(self.cfg)
+        self._jit_steps()
 
     def _apply(self, params, kgarrs, subs, rels, times, qmask, seed):
         # graph arrays travel as jit arguments (closure capture would embed
@@ -74,7 +90,8 @@ class XErteTrainer:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        overflow = jnp.any(aux["node_overflow"])
+        return params, opt_state, loss, overflow
 
     def _eval_step_impl(self, params, kgarrs, subs, rels, objs, times,
                         qmask, fil, fil_t, seed):
@@ -83,7 +100,7 @@ class XErteTrainer:
         sums = frontier_rank_metric_sums(mass, aux["visited"], objs, qmask,
                                          fil, fil_t)
         sums["loss_sum"] = bce_loss(mass, objs, qmask) * jnp.sum(qmask)
-        return sums
+        return sums, jnp.any(aux["node_overflow"])
 
     def _batches(self, data, b):
         for start in range(0, len(data), b):
@@ -99,50 +116,80 @@ class XErteTrainer:
     def train_epoch(self, epoch: int) -> float:
         data = self.kg.splits["train"]
         data = data[self._np_rng.permutation(len(data))]
-        losses = []
-        for batch, qmask in self._batches(data, self.batch_size):
-            self._step_counter += 1
-            self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state, self._kgarrs,
-                jnp.asarray(batch[:, 0], jnp.int32),
-                jnp.asarray(batch[:, 1], jnp.int32),
-                jnp.asarray(batch[:, 2], jnp.int32),
-                jnp.asarray(batch[:, 3], jnp.int32),
-                jnp.asarray(qmask), jnp.int32(self._step_counter),
-            )
-            losses.append(loss)
-        return float(np.sum(jax.device_get(losses)))
+        for _attempt in range(6):
+            snap = (self.params, self.opt_state, self._step_counter)
+            losses, overflows = [], []
+            for batch, qmask in self._batches(data, self.batch_size):
+                self._step_counter += 1
+                self.params, self.opt_state, loss, ov = self._train_step(
+                    self.params, self.opt_state, self._kgarrs,
+                    jnp.asarray(batch[:, 0], jnp.int32),
+                    jnp.asarray(batch[:, 1], jnp.int32),
+                    jnp.asarray(batch[:, 2], jnp.int32),
+                    jnp.asarray(batch[:, 3], jnp.int32),
+                    jnp.asarray(qmask), jnp.int32(self._step_counter),
+                )
+                losses.append(loss)
+                overflows.append(ov)
+            if not any(jax.device_get(overflows)):
+                return float(np.sum(jax.device_get(losses)))
+            self.params, self.opt_state, self._step_counter = snap
+            self._grow_caps()
+            print(f"xerte epoch {epoch}: visited-set overflow; "
+                  f"cap_factor -> {self.cfg.cap_factor}, replaying",
+                  flush=True)
+        raise RuntimeError("xerte visited caps failed to stabilize")
+
+    def _filters(self):
+        """(s,p)- and (s,p,t)-filter dicts over all splits, built once."""
+        if not hasattr(self, "_sp2o"):
+            sp2o: Dict[tuple, set] = defaultdict(set)
+            spt2o: Dict[tuple, set] = defaultdict(set)
+            for s in ("train", "valid", "test"):
+                for h, r, t, tau in self.kg.splits[s]:
+                    sp2o[(h, r)].add(t)
+                    spt2o[(h, r, tau)].add(t)
+            self._sp2o = {k: np.array(sorted(v)) for k, v in sp2o.items()}
+            self._spt2o = {k: np.array(sorted(v)) for k, v in spt2o.items()}
+        return self._sp2o, self._spt2o
 
     def evaluate(self, split: str) -> Dict[str, float]:
         kg = self.kg
         data = kg.splits[split]
         b = self.batch_size
-        sp2o: Dict[tuple, set] = defaultdict(set)
-        spt2o: Dict[tuple, set] = defaultdict(set)
-        for s in ("train", "valid", "test"):
-            for h, r, t, tau in kg.splits[s]:
-                sp2o[(h, r)].add(t)
-                spt2o[(h, r, tau)].add(t)
-        partials = []
-        for batch, qmask in self._batches(data, b):
-            fil = np.ones((b, kg.n_ent), bool)
-            fil_t = np.ones((b, kg.n_ent), bool)
-            for i in range(len(batch)):
-                if not qmask[i]:
-                    continue
-                h, r, t, tau = batch[i]
-                fil[i, [e for e in sp2o.get((h, r), ()) if e != t]] = False
-                fil_t[i, [e for e in spt2o.get((h, r, tau), ())
-                          if e != t]] = False
-            partials.append(self._eval_step(
-                self.params, self._kgarrs,
-                jnp.asarray(batch[:, 0], jnp.int32),
-                jnp.asarray(batch[:, 1], jnp.int32),
-                jnp.asarray(batch[:, 2], jnp.int32),
-                jnp.asarray(batch[:, 3], jnp.int32),
-                jnp.asarray(qmask), jnp.asarray(fil), jnp.asarray(fil_t),
-                jnp.int32(0),
-            ))
+        sp2o, spt2o = self._filters()
+        for _attempt in range(6):
+            partials, overflows = [], []
+            for batch, qmask in self._batches(data, b):
+                fil = np.ones((b, kg.n_ent), bool)
+                fil_t = np.ones((b, kg.n_ent), bool)
+                for i in range(len(batch)):
+                    if not qmask[i]:
+                        continue
+                    h, r, t, tau = batch[i]
+                    fil[i, [e for e in sp2o.get((h, r), ())
+                            if e != t]] = False
+                    fil_t[i, [e for e in spt2o.get((h, r, tau), ())
+                              if e != t]] = False
+                sums, ov = self._eval_step(
+                    self.params, self._kgarrs,
+                    jnp.asarray(batch[:, 0], jnp.int32),
+                    jnp.asarray(batch[:, 1], jnp.int32),
+                    jnp.asarray(batch[:, 2], jnp.int32),
+                    jnp.asarray(batch[:, 3], jnp.int32),
+                    jnp.asarray(qmask), jnp.asarray(fil),
+                    jnp.asarray(fil_t), jnp.int32(0),
+                )
+                partials.append(sums)
+                overflows.append(ov)
+            if not any(jax.device_get(overflows)):
+                break
+            self._grow_caps()
+            print(f"xerte eval[{split}]: visited-set overflow; "
+                  f"cap_factor -> {self.cfg.cap_factor}, retrying",
+                  flush=True)
+        else:
+            raise RuntimeError("xerte visited caps failed to stabilize")
         tot = defaultdict(float)
         for p in jax.device_get(partials):
             for k, v in p.items():
@@ -158,19 +205,74 @@ class XErteTrainer:
         out["mrr"] = out["fil_mrr"]
         return out
 
-    def fit(self, epochs: int = 20, log=print) -> Dict[str, Any]:
-        best = {"valid_mrr": -1.0}
-        for epoch in range(epochs):
+    # -- checkpointing (same scheme as the main trainers) ---------------
+    def state(self) -> Dict[str, Any]:
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def host_state(self) -> Dict[str, Any]:
+        return {"np_rng": self._np_rng.bit_generator.state,
+                "step_counter": int(self._step_counter),
+                "cap_factor": float(self.cfg.cap_factor)}
+
+    def restore_host(self, ckpt_path: str) -> None:
+        from redgnn_tpu.utils.checkpoint import load_host
+
+        host = load_host(ckpt_path)
+        if host is None:
+            return
+        try:
+            self._np_rng.bit_generator.state = host["np_rng"]
+        except (KeyError, ValueError):
+            pass
+        self._step_counter = int(host.get("step_counter", 0))
+        cap = float(host.get("cap_factor", self.cfg.cap_factor))
+        if cap != self.cfg.cap_factor:
+            self.cfg = dataclasses.replace(self.cfg, cap_factor=cap)
+            self.model = XErte(self.cfg)
+            self._jit_steps()
+
+    def save(self, ckpt_dir: str, epoch: int, metric: float) -> str:
+        from redgnn_tpu.utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(ckpt_dir, self.state(), epoch, metric,
+                               host=self.host_state())
+
+    def restore(self, path: str) -> int:
+        from redgnn_tpu.utils.checkpoint import load_checkpoint
+
+        state, epoch, _ = load_checkpoint(path, self.state())
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.restore_host(path)
+        return epoch
+
+    def fit(self, epochs: Optional[int] = None, log=print, logger=None,
+            ckpt_dir: Optional[str] = None,
+            start_epoch: int = 0) -> Dict[str, Any]:
+        from redgnn_tpu.utils.checkpoint import save_latest
+
+        epochs = epochs or 20
+        best: Dict[str, Any] = {"valid_mrr": -1.0}
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             loss = self.train_epoch(epoch)
             vm = self.evaluate("valid")
             row = {"epoch": epoch, "loss": loss, "time": time.time() - t0,
                    **{f"valid_{k}": v for k, v in vm.items()}}
+            if logger is not None:
+                logger.log_scalars(epoch, {k: v for k, v in row.items()
+                                           if isinstance(v, (int, float))},
+                                   tag="eval")
             if vm["mrr"] > best["valid_mrr"]:
                 tm = self.evaluate("test")
                 row.update({f"test_{k}": v for k, v in tm.items()})
                 best = dict(row, valid_mrr=vm["mrr"])
+                if ckpt_dir:
+                    self.save(ckpt_dir, epoch, vm["mrr"])
             self.history.append(row)
+            if ckpt_dir:
+                save_latest(ckpt_dir, self.state(), epoch + 1, vm["mrr"],
+                            host=self.host_state())
             log(f"xerte epoch {epoch} loss {loss:.3f} "
                 f"valid fil-MRR {vm['mrr']:.4f}")
         return best

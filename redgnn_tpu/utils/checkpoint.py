@@ -7,9 +7,12 @@ Capability parity with both reference schemes:
   * extrapolation: timestamped checkpoint dirs + full-state files that a
     loader can rebuild from (`Temporal/extrapolation/utils.py:617-690`).
 
-Serialization is flax msgpack (`flax.serialization`) — a single portable
-file per checkpoint; the training loop's numpy rng and plateau state ride
-along so resume is bit-exact on the host side.
+Serialization is flax msgpack (`flax.serialization`) for the device state
+(params/optimizer), plus an optional JSON sidecar (`<file>.host.json`) for
+host-side training state — plateau-scheduler counters, rng states — so an
+elastic resume continues with the same learning rate and shuffles. The
+sidecar is optional on load: checkpoints written before it existed still
+restore.
 """
 
 from __future__ import annotations
@@ -33,14 +36,34 @@ def new_checkpoint_dir(root: str, prefix: str = "checkpoints") -> str:
     return path
 
 
+def _write_host(path: str, host: Optional[Dict[str, Any]]) -> None:
+    if host is None:
+        return
+    tmp = path + ".host.tmp"
+    with open(tmp, "w") as f:
+        json.dump(host, f)
+    os.replace(tmp, path + ".host.json")
+
+
+def load_host(path: str) -> Optional[Dict[str, Any]]:
+    """Host-state sidecar of checkpoint ``path`` (None if absent)."""
+    try:
+        with open(path + ".host.json") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], epoch: int,
-                    metric: float, keep: int = 3) -> str:
+                    metric: float, keep: int = 3,
+                    host: Optional[Dict[str, Any]] = None) -> str:
     """Write `{metric:.5f}.{epoch}.msgpack`; prune to the best ``keep``."""
     os.makedirs(ckpt_dir, exist_ok=True)
     state = dict(state, _meta=np.array([epoch, metric], np.float64))
     path = os.path.join(ckpt_dir, f"{metric:.5f}.{epoch}.msgpack")
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(state)))
+    _write_host(path, host)
     ckpts = sorted(
         (p for p in glob.glob(os.path.join(ckpt_dir, "*.msgpack"))
          if os.path.basename(p) != "latest.msgpack"),
@@ -50,6 +73,8 @@ def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], epoch: int,
     )
     for stale in ckpts[keep:]:
         os.remove(stale)
+        if os.path.exists(stale + ".host.json"):
+            os.remove(stale + ".host.json")
     return path
 
 
@@ -69,7 +94,8 @@ def load_checkpoint(path: str, template: Dict[str, Any]
 
 
 def save_latest(ckpt_dir: str, state: Dict[str, Any], epoch: int,
-                metric: float) -> str:
+                metric: float,
+                host: Optional[Dict[str, Any]] = None) -> str:
     """Overwrite `latest.msgpack` — the elastic-recovery anchor: written
     every epoch so a crashed run (the tunneled TPU worker dies under
     sustained load) resumes from the last completed epoch."""
@@ -80,6 +106,7 @@ def save_latest(ckpt_dir: str, state: Dict[str, Any], epoch: int,
         f.write(serialization.to_bytes(jax.device_get(state)))
     path = os.path.join(ckpt_dir, "latest.msgpack")
     os.replace(tmp, path)
+    _write_host(path, host)
     return path
 
 

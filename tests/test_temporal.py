@@ -256,3 +256,63 @@ def test_time_rowptr_equals_searchsorted(tmp_path, rng):
     want = np.searchsorted(kg.ekey_np, ents.astype(np.int64) * K + ts)
     got = kg.time_rowptr_np[ents, ts]
     np.testing.assert_array_equal(got, want)
+
+
+def test_temporal_predictor_topk(tmp_path, rng):
+    """Serving path over a TemporalTrainer (review fix: the temporal
+    branch must thread the KG arrays into the jitted predictor)."""
+    from redgnn_tpu.serve import Predictor
+
+    kg = _make_kg(tmp_path, rng)
+    cfg = TemporalTrainConfig(hidden_dim=12, attn_dim=8, n_layer=2,
+                              dropout=0.0, batch_size=16,
+                              eval_batch_size=8, epochs=1)
+    trainer = TemporalTrainer(kg, cfg)
+    trainer.train_epoch(0)
+    pred = Predictor(trainer, split="test", top_k=4)
+    q = kg.splits["test"][:6]
+    scores, ents = pred.predict(q[:, 0], q[:, 1], q[:, 3])
+    assert scores.shape == (6, 4) and ents.shape == (6, 4)
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)
+    assert np.all((ents >= 0) & (ents < kg.n_ent))
+
+
+def test_host_state_rides_checkpoints(tmp_path, rng):
+    """Plateau scheduler + rng state survive an elastic resume (review
+    fix: without the sidecar, a resumed run's next plateau event would
+    RAISE the lr back to the config value)."""
+    from redgnn_tpu.utils.checkpoint import load_latest, save_latest
+
+    kg = _make_kg(tmp_path, rng)
+    cfg = TemporalTrainConfig(hidden_dim=8, attn_dim=6, n_layer=2,
+                              dropout=0.0, lr=1e-2, patience=0,
+                              batch_size=32, eval_batch_size=32)
+    trainer = TemporalTrainer(kg, cfg)
+    # one non-improving plateau step with patience=0 -> lr reduced
+    trainer.plateau_step(1.0)
+    trainer.plateau_step(2.0)
+    assert trainer._lr == pytest.approx(1e-3)
+    ck = str(tmp_path / "ck")
+    save_latest(ck, trainer.state(), 3, 0.5, host=trainer.host_state())
+
+    fresh = TemporalTrainer(kg, cfg)
+    assert fresh._lr == pytest.approx(1e-2)
+    state, epoch, _ = load_latest(ck, fresh.state())
+    fresh.params, fresh.opt_state = state["params"], state["opt_state"]
+    fresh.restore_host(ck + "/latest.msgpack")
+    assert epoch == 3
+    assert fresh._lr == pytest.approx(trainer._lr)
+    assert fresh._plateau_best == trainer._plateau_best
+    assert fresh._plateau_bad == trainer._plateau_bad
+    # rng sequence continues, not restarts
+    assert (fresh._np_rng.integers(0, 1 << 30)
+            == trainer._np_rng.integers(0, 1 << 30))
+    # a checkpoint WITHOUT a sidecar still restores, deriving the live
+    # lr from the optimizer hyperparams
+    import os as _os
+    _os.remove(ck + "/latest.msgpack.host.json")
+    stale = TemporalTrainer(kg, cfg)
+    state, _, _ = load_latest(ck, stale.state())
+    stale.params, stale.opt_state = state["params"], state["opt_state"]
+    stale.restore_host(ck + "/latest.msgpack")
+    assert stale._lr == pytest.approx(1e-3)

@@ -116,3 +116,27 @@ def test_seen_unseen_splits(tmp_path, rng):
     n_src = len((src / "train.txt").read_text().splitlines())
     n_dst = len((dst / "train.txt").read_text().splitlines())
     assert n_dst == 2 * n_src
+
+
+def test_xerte_overflow_grows_caps(tmp_path, rng):
+    """Visited-set overflow is surfaced and handled by geometric capacity
+    growth + replay (review fix: it used to be silently dropped,
+    clamping distinct nodes onto one slot)."""
+    from redgnn_tpu.train.xerte_loop import XErteTrainer
+
+    kg = TemporalKG.load_vocab_dir(
+        str(write_temporal_dir(tmp_path, rng)))
+    # max_attended_edges far below the per-step unique-target count so
+    # the pre-pruning insert overflows the budgeted visited capacity
+    cfg = XErteConfig(
+        n_ent=kg.n_ent, n_rel=kg.idd_rel, n_time=kg.n_time + 2,
+        emb_dim=(16, 8, 8), dp_steps=2, dp_num_edges=8,
+        max_attended_edges=2,
+    )
+    trainer = XErteTrainer(kg, cfg, batch_size=16)
+    loss = trainer.train_epoch(0)
+    assert np.isfinite(loss)
+    assert trainer.cfg.cap_factor > 1.0, \
+        "expected the overflow path to grow cap_factor"
+    m = trainer.evaluate("valid")
+    assert 0.0 <= m["mrr"] <= 1.0
