@@ -32,6 +32,8 @@ from redgnn_tpu.graph.kg import (
     _add_self_loops,
     _read_vocab,
     build_csr,
+    filters_of,
+    group_queries,
 )
 
 
@@ -49,31 +51,15 @@ def _read_doubled(path: str, e2id: Dict[str, int], r2id: Dict[str, int],
     return np.array(out, dtype=np.int64).reshape(-1, 3)
 
 
-def _group_queries(triples: np.ndarray):
-    groups: Dict[Tuple[int, int], List[int]] = defaultdict(list)
-    for h, r, t in triples:
-        groups[(int(h), int(r))].append(int(t))
-    keys = sorted(groups.keys())
-    queries = np.array(keys, dtype=np.int64).reshape(-1, 2)
-    answers = [np.array(sorted(set(groups[k]))) for k in keys]
-    return queries, answers
-
-
-def _filters_of(*triple_sets: np.ndarray) -> Dict[Tuple[int, int], np.ndarray]:
-    filt: Dict[Tuple[int, int], set] = defaultdict(set)
-    for triples in triple_sets:
-        for h, r, t in triples:
-            filt[(int(h), int(r))].add(int(t))
-    return {k: np.array(sorted(v)) for k, v in filt.items()}
-
-
 @dataclass
 class InductiveKG:
     n_ent: int        # transductive (train-side) entity count
     n_ent_ind: int
     n_rel: int
     train_data: np.ndarray  # training queries = doubled transductive valid
-    graph: DeviceGraph      # transductive train graph (propagation, train+valid)
+    graph: DeviceGraph      # transductive propagation graph — train.txt
+                            # edges only (valid triples are the training
+                            # QUERIES, not edges; `load_data.py:60-65`)
     graph_np: tuple
     ind_graph: DeviceGraph
     ind_graph_np: tuple
@@ -119,12 +105,12 @@ class InductiveKG:
             entity2id=e2id, entity2id_ind=e2id_ind, relation2id=r2id,
         )
         # valid: transductive-test queries on the transductive graph
-        vq, va = _group_queries(tra_test)
-        kg.valid_spec_data = (vq, va, _filters_of(tra_train, tra_valid,
+        vq, va = group_queries(tra_test)
+        kg.valid_spec_data = (vq, va, filters_of(tra_train, tra_valid,
                                                   tra_test))
         # test: inductive valid+test queries on the inductive graph
-        tq, ta = _group_queries(np.concatenate([ind_valid, ind_test], 0))
-        kg.test_spec_data = (tq, ta, _filters_of(ind_train, ind_valid,
+        tq, ta = group_queries(np.concatenate([ind_valid, ind_test], 0))
+        kg.test_spec_data = (tq, ta, filters_of(ind_train, ind_valid,
                                                  ind_test))
         return kg
 

@@ -94,18 +94,61 @@ def _double(triples: np.ndarray, n_rel: int) -> np.ndarray:
 
 
 def _read_vocab(path: str) -> Dict[str, int]:
+    """Name->id map from either format the reference ships: bare names
+    (id = position among non-blank lines) or explicit `name\\tid` pairs
+    (`Static/transductive/load_data.py:15-23` vs inductive `:15,22`).
+    Ids must come out dense in [0, len) — downstream CSR/key arithmetic
+    sizes arrays by len(vocab)."""
     vocab: Dict[str, int] = {}
+    next_id = 0  # counts accepted entries, not raw lines (blank-safe)
     with open(path) as f:
-        for i, line in enumerate(f):
+        for line in f:
             line = line.rstrip("\n")
             if not line.strip():
                 continue
             parts = line.split("\t")
             if len(parts) == 2 and parts[1].strip().isdigit():
-                vocab[parts[0]] = int(parts[1])
+                name, idx = parts[0], int(parts[1])
             else:
-                vocab[line.strip()] = i
+                name, idx = line.strip(), next_id
+            if name in vocab:
+                raise ValueError(f"{path}: duplicate vocab entry {name!r}")
+            vocab[name] = idx
+            next_id += 1
+    ids = sorted(vocab.values())
+    if ids != list(range(len(vocab))):
+        raise ValueError(
+            f"{path}: vocab ids are not a dense [0, {len(vocab)}) range "
+            "(duplicate or gapped ids would corrupt CSR/key arithmetic)")
     return vocab
+
+
+def group_queries(
+    doubled_triples: np.ndarray,
+) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """(h, r)-grouped eval queries with sorted-unique multi-answers —
+    the reference's grouped evaluation protocol (`load_data.py:91-104`).
+    Shared by the transductive and inductive loaders so tie-breaking /
+    answer-dedup semantics stay in one place."""
+    groups: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    for h, r, t in doubled_triples:
+        groups[(int(h), int(r))].append(int(t))
+    keys = sorted(groups.keys())
+    queries = np.array(keys, dtype=np.int64).reshape(-1, 2)
+    answers = [np.array(sorted(set(groups[k]))) for k in keys]
+    return queries, answers
+
+
+def filters_of(
+    *triple_sets: np.ndarray,
+) -> Dict[Tuple[int, int], np.ndarray]:
+    """(h, r) -> sorted known-true tails over the given (already-doubled)
+    triple sets, for filtered ranking (`load_data.py:170-192`)."""
+    filt: Dict[Tuple[int, int], set] = defaultdict(set)
+    for triples in triple_sets:
+        for h, r, t in triples:
+            filt[(int(h), int(r))].add(int(t))
+    return {k: np.array(sorted(v)) for k, v in filt.items()}
 
 
 @dataclass
@@ -149,15 +192,6 @@ class StaticKG:
     def idd_rel(self) -> int:
         return 2 * self.n_rel
 
-    @property
-    def n_graph_edges(self) -> int:
-        """Edge count of the (doubled + self-loop) train-time fact graph.
-
-        Constant across re-splits because the 3:1 ratio is deterministic in
-        the pool size (`load_data.py:160-163`).
-        """
-        pool = len(self.fact) + len(self.train)
-        return (pool * 3 // 4) * 2 + self.n_ent
 
     @classmethod
     def load(cls, data_dir: str) -> "StaticKG":
@@ -236,14 +270,7 @@ class StaticKG:
         self, split: str
     ) -> Tuple[np.ndarray, List[np.ndarray]]:
         triples = {"valid": self.valid, "test": self.test}[split]
-        doubled = _double(triples, self.n_rel)
-        groups: Dict[Tuple[int, int], List[int]] = defaultdict(list)
-        for h, r, t in doubled:
-            groups[(h, r)].append(t)
-        keys = sorted(groups.keys())
-        queries = np.array(keys, dtype=np.int64).reshape(-1, 2)
-        answers = [np.array(sorted(set(groups[k]))) for k in keys]
-        return queries, answers
+        return group_queries(_double(triples, self.n_rel))
 
     def filter_row(self, h: int, r: int) -> np.ndarray:
         """Known-true tails for (h, r) across all splits (for filtered MRR)."""

@@ -235,9 +235,15 @@ class TemporalKG:
             splits[f"{name}_seen"] = arr[mask]
             splits[f"{name}_unseen"] = arr[~mask]
 
+        # n_time must cover EVERY split's timestamps, not just the graph
+        # rows: with self_loops=False and a train-only graph, eval query
+        # times past the train horizon would otherwise index beyond
+        # time-sized tables (clamped silently by TPU gathers)
+        max_t = max(int(s[:, 3].max()) for s in splits.values() if len(s))
+        max_t = max(max_t, int(graph_quads[:, 3].max()))
         kg = cls(
             n_ent=n_ent, n_rel=idd_rel + 1,
-            n_time=int(graph_quads[:, 3].max() + 1),
+            n_time=max_t + 1,
             idd_rel=idd_rel, graph_quads=graph_quads,
             n_facts=len(graph_base), row_to_slot=None,
         )

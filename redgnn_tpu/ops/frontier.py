@@ -144,8 +144,9 @@ def expand_frontier_ranges(
     ``row_start``/``deg`` describe a contiguous CSR sub-row per frontier
     node — the full row for static graphs, or a time-windowed slice for
     temporal extrapolation (rows sorted by (head, time) make any window a
-    contiguous range found by two binary searches; see
-    redgnn_tpu.graph.temporal.windowed_ranges). ``extra_edge_slot``
+    contiguous range; `graph.temporal.TemporalKG._build_csr` builds the
+    layout and the window bounds are two `time_rowptr` gathers in
+    `models.temporal.TRedGNN`). ``extra_edge_slot``
     appends one extra out-of-range edge per node — the always-included
     self-loop of the windowed temporal graph
     (`Temporal/extrapolation/model_cuda_new_embedding.py:172-176`).

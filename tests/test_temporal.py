@@ -316,3 +316,19 @@ def test_host_state_rides_checkpoints(tmp_path, rng):
     stale.params, stale.opt_state = state["params"], state["opt_state"]
     stale.restore_host(ck + "/latest.msgpack")
     assert stale._lr == pytest.approx(1e-3)
+
+
+@_pytest.mark.skipif(
+    not _os.path.isdir(
+        "/root/reference/Temporal/extrapolation/data/ICEWS14_forecasting"),
+    reason="reference dataset not available")
+def test_n_time_covers_eval_splits_without_self_loops():
+    """Review fix: with a train-only graph and no self-loop rows, n_time
+    must still cover valid/test timestamps (time-sized tables would be
+    silently clamp-indexed otherwise)."""
+    kg = TemporalKG.load_id_dir(
+        "/root/reference/Temporal/extrapolation/data/ICEWS14_forecasting",
+        add_inverse=True, time_granularity=24, self_loops=False,
+        graph_from_all_splits=False)
+    for name in ("valid", "test"):
+        assert int(kg.splits[name][:, 3].max()) < kg.n_time

@@ -80,3 +80,28 @@ def test_predictor_topk(tmp_path, rng):
     assert scores.shape == (nq, 5) and ents.shape == (nq, 5)
     assert np.all(np.diff(scores, axis=1) <= 1e-6)  # sorted desc
     assert np.all((ents >= 0) & (ents < kg.n_ent))
+
+
+def test_vocab_blank_lines_and_dense_ids(tmp_path):
+    """Review fix: blank lines must not gap the id space, and explicit
+    name\\tid files must produce a dense [0, n) range."""
+    from redgnn_tpu.graph.kg import _read_vocab
+
+    p = tmp_path / "entities.txt"
+    p.write_text("a\nb\n\nc\n")
+    v = _read_vocab(str(p))
+    assert v == {"a": 0, "b": 1, "c": 2}
+
+    p2 = tmp_path / "pairs.txt"
+    p2.write_text("x\t1\ny\t0\n\nz\t2\n")
+    assert _read_vocab(str(p2)) == {"x": 1, "y": 0, "z": 2}
+
+    import pytest
+    bad = tmp_path / "gapped.txt"
+    bad.write_text("x\t0\ny\t5\n")
+    with pytest.raises(ValueError):
+        _read_vocab(str(bad))
+    dup = tmp_path / "dup.txt"
+    dup.write_text("x\nx\n")
+    with pytest.raises(ValueError):
+        _read_vocab(str(dup))
