@@ -160,19 +160,28 @@ _TEMPORAL = {
         dropout=0.1, act="leakyrelu", eval_batch_size=16,
     ),
     # `Temporal/extrapolation/main.py:111-155,202-209`
-    # reference effective batch 128 (`main.py:112`), realized here as
-    # bs16 x 8 accumulation steps: per-dispatch program footprint then
-    # matches the profile proven stable for hours on this TPU worker
+    # The reference's reproduction command trains with batch_size **2**
+    # (`Temporal/README.md:27-37`) and Adam + weight_decay 1e-3
+    # (`main.py:217`) — NOT the argparse default of 128. A 20-epoch run
+    # at effective batch 128 (bs16 x 8 accum) plateaued at test fil-MRR
+    # 0.362 vs the reference curve's 0.449: 64x fewer optimizer updates.
+    # bs16 keeps the per-dispatch program at the profile proven stable
+    # for hours on this TPU worker; accum=1 recovers 8x more updates
+    # (effective batch 16 — the closest TPU-efficient point to bs2).
     "ICEWS14_forecasting": TemporalTrainConfig(
         mode="extrapolation", window=120, time_granularity=24,
-        batch_size=16, grad_accum_steps=8, eval_batch_size=32,
+        batch_size=16, grad_accum_steps=1, eval_batch_size=32,
+        optimizer="adam", weight_decay=1e-3,
         lr=1e-3, epochs=20, hidden_dim=30, attn_dim=30, n_layer=3,
         dropout=0.1, act="leakyrelu", patience=3, scan_chunk=64,
     ),
+    # same README recipe as ICEWS14_forecasting (`Temporal/README.md:40-49`:
+    # bs2, Adam) — bs16 is the TPU-efficient stand-in, see above
     "YAGO_forecasting": TemporalTrainConfig(
         mode="extrapolation", window=120, time_granularity=1,
-        batch_size=128, lr=1e-3, epochs=20, hidden_dim=30, attn_dim=30,
-        n_layer=3, dropout=0.1, act="leakyrelu", patience=3,
+        batch_size=16, eval_batch_size=32, optimizer="adam",
+        weight_decay=1e-3, lr=1e-3, epochs=20, hidden_dim=30, attn_dim=30,
+        n_layer=3, dropout=0.1, act="leakyrelu", patience=3, scan_chunk=64,
     ),
 }
 
