@@ -144,7 +144,7 @@ def main(argv=None):
                            if not hasattr(cfg, p.partition("=")[0])]
             set_pairs = [p for p in set_pairs
                          if hasattr(cfg, p.partition("=")[0])]
-        cfg_registry = cfg  # pre-override values, to detect explicit sets
+        explicit_keys = {p.partition("=")[0] for p in set_pairs}
         cfg = parse_overrides(set_pairs, cfg)
         id_based = os.path.exists(
             os.path.join(args.data_path, "entity2id.txt"))
@@ -165,18 +165,19 @@ def main(argv=None):
                                n_time=kg.n_time + 2)
             xcfg = parse_overrides(xerte_pairs, xcfg)
             # trainer knobs default to the reference xERTE values
-            # (lr 1e-3, batch 128) unless explicitly --set
+            # (lr 1e-3, batch 128) unless explicitly --set (detected from
+            # the --set key list itself, not by value comparison)
             kwargs = {}
             for field in ("lr", "batch_size"):
-                if getattr(cfg, field) != getattr(cfg_registry, field):
+                if field in explicit_keys:
                     kwargs[field] = getattr(cfg, field)
             trainer = XErteTrainer(kg, xcfg, seed=cfg.seed,
                                    grad_accum_steps=cfg.grad_accum_steps,
-                                   **kwargs)
+                                   epochs=cfg.epochs, **kwargs)
         elif args.model == "simple":
             from redgnn_tpu.train.simple_loop import SimplETrainer
 
-            trainer = SimplETrainer(kg, seed=cfg.seed)
+            trainer = SimplETrainer(kg, seed=cfg.seed, epochs=cfg.epochs)
         else:
             trainer = TemporalTrainer(kg, cfg)
 

@@ -424,6 +424,11 @@ class StaticTrainer:
 
         epochs = epochs or self.cfg.epochs
         best = {"valid_mrr": -1.0}
+        if start_epoch > 0:
+            # the sidecar rng was saved BEFORE the resplit that produced
+            # start_epoch's split; replay that one resplit so the resumed
+            # run trains on the exact same facts/train partition sequence
+            self.kg.resplit(self._np_rng)
         for epoch in range(start_epoch, epochs):
             loss = self.train_epoch(epoch)
             row: Dict[str, Any] = {"epoch": epoch, "loss": loss}
@@ -450,11 +455,12 @@ class StaticTrainer:
                     f"H@1:{tm['h1']:.4f} H@10:{tm['h10']:.4f}"
                 )
             self.history.append(row)
-            self.kg.resplit(self._np_rng)
             if ckpt_dir:
-                # after the resplit so the restored rng continues the
-                # same split sequence on resume
+                # BEFORE the resplit: fit() replays one resplit on resume,
+                # so the restored rng regenerates the exact split the
+                # original run used for epoch+1
                 save_latest(ckpt_dir, self.state(), epoch + 1,
                             row.get("valid_mrr", -1.0),
                             host=self.host_state())
+            self.kg.resplit(self._np_rng)
         return best

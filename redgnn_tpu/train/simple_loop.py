@@ -20,11 +20,12 @@ from redgnn_tpu.ops.ranking import raw_rank_metric_sums
 
 class SimplETrainer:
     def __init__(self, kg, hidden_dim: int = 64, lr: float = 1e-3,
-                 batch_size: int = 256, seed: int = 0):
+                 batch_size: int = 256, seed: int = 0, epochs: int = 20):
         """``kg`` needs n_ent, n_rel and splits['train'/'valid'/'test']
         with (h, r, t[, tau]) rows (TemporalKG works directly)."""
         self.kg = kg
         self.batch_size = batch_size
+        self.epochs = epochs
         self.model = SimplE(n_ent=kg.n_ent, n_rel=kg.n_rel + 1,
                             hidden_dim=hidden_dim)
         rng = jax.random.PRNGKey(seed)
@@ -136,7 +137,7 @@ class SimplETrainer:
             ckpt_dir=None, start_epoch: int = 0) -> Dict[str, Any]:
         from redgnn_tpu.utils.checkpoint import save_latest
 
-        epochs = epochs or 20
+        epochs = epochs or self.epochs
         best = {"valid_mrr": -1.0}
         for epoch in range(start_epoch, epochs):
             loss = self.train_epoch(epoch)

@@ -56,6 +56,31 @@ def nll_softmax_loss(scores, targets, qmask):
     return jnp.sum(jnp.where(qmask, per_row, 0.0)) / denom
 
 
+def stage_filter_indices(sp2o, spt2o, data, b: int, n_ent: int):
+    """Padded known-answer index lists per eval query, staged once per
+    split (pattern of the static eval scan, `loop.py:340-349`).
+
+    Returns (fil_idx, filt_idx) of shape (nb, b, max_k) with pad id
+    ``n_ent``: entities to EXCLUDE from ranking under the (s,p)-filtered
+    and (s,p,t)-filtered protocols respectively
+    (`Temporal/extrapolation/segment.py:346-387`), target kept in."""
+    fil_rows, filt_rows = [], []
+    for s, p, o, t in data:
+        fil_rows.append([e for e in sp2o.get((s, p), ()) if e != o])
+        filt_rows.append([e for e in spt2o.get((s, p, t), ()) if e != o])
+    nb = -(-len(data) // b)
+
+    def pack(rows_list):
+        m = max((len(r) for r in rows_list), default=1) or 1
+        m = -(-m // 32) * 32  # round up: stable compile keys across splits
+        out = np.full((nb * b, m), n_ent, np.int64)
+        for i, r in enumerate(rows_list):
+            out[i, :len(r)] = r
+        return out.reshape(nb, b, m)
+
+    return pack(fil_rows), pack(filt_rows)
+
+
 def _nan_scrub(params, key):
     leaves, treedef = jax.tree_util.tree_flatten(params)
     keys = jax.random.split(key, len(leaves))
@@ -96,10 +121,19 @@ class TemporalTrainer:
         )["params"]
 
         def make_opt(learning_rate):
-            core = (optax.adamw(learning_rate,
-                                weight_decay=cfg.weight_decay)
-                    if cfg.optimizer == "adamw"
-                    else optax.adam(learning_rate))
+            if cfg.optimizer == "adamw":
+                core = optax.adamw(learning_rate,
+                                   weight_decay=cfg.weight_decay)
+            else:
+                # torch.optim.Adam(..., weight_decay=wd) is coupled L2:
+                # wd*p is added to the GRADIENT before the moment updates
+                # (`Temporal/extrapolation/main.py:217`) — distinct from
+                # AdamW's decoupled decay.
+                core = optax.chain(
+                    optax.add_decayed_weights(cfg.weight_decay),
+                    optax.scale_by_adam(),
+                    optax.scale_by_learning_rate(learning_rate),
+                )
             if cfg.grad_clip is not None and np.isfinite(cfg.grad_clip):
                 return optax.chain(
                     optax.clip_by_global_norm(cfg.grad_clip), core)
@@ -128,8 +162,9 @@ class TemporalTrainer:
         self.history: List[Dict[str, Any]] = []
 
         if cfg.mode == "extrapolation":
-            self._eval_step_ex = jax.jit(self._eval_step_ex_impl,
+            self._eval_scan_ex = jax.jit(self._eval_scan_ex_impl,
                                          static_argnames=("caps",))
+            self._fil_cache: Dict[str, tuple] = {}
         self._train_epoch_scan = jax.jit(self._train_epoch_scan_impl,
                                          static_argnames=("caps",))
         self._eval_scan = jax.jit(self._eval_scan_impl,
@@ -225,26 +260,60 @@ class TemporalTrainer:
         return sums, overflow
 
     def _eval_step_ex_impl(self, params, kgarrs, subs, rels, objs, times,
-                           qmask, fil, fil_t, caps: FrontierCaps):
+                           qmask, fil_idx, filt_idx, caps: FrontierCaps):
         scores, aux = self._apply(params, kgarrs, subs, rels, times, qmask,
                                   caps, None, False)
         b = subs.shape[0]
+        n_ent = self.model_cfg.n_ent
         keys = aux["frontier_keys"]
         from redgnn_tpu.ops.frontier import SENTINEL
 
         valid = keys != SENTINEL
-        bidx = jnp.where(valid, keys // self.model_cfg.n_ent, b)
-        eidx = jnp.where(valid, keys % self.model_cfg.n_ent, 0)
-        prob = jnp.zeros((b, self.model_cfg.n_ent)).at[bidx, eidx].set(
+        bidx = jnp.where(valid, keys // n_ent, b)
+        eidx = jnp.where(valid, keys % n_ent, 0)
+        prob = jnp.zeros((b, n_ent)).at[bidx, eidx].set(
             jnp.where(valid, aux["frontier_softmax"], 0.0), mode="drop")
-        visited = jnp.zeros((b, self.model_cfg.n_ent), bool).at[
+        visited = jnp.zeros((b, n_ent), bool).at[
             bidx, eidx].set(valid, mode="drop")
+        # keep-masks scattered from padded known-answer index lists
+        # (pad id = n_ent -> dropped). Built on device: the round-1 host
+        # loop over dense (B, n_ent) one-hots per batch (the literal port
+        # of `extrapolation/main.py:404-411`) cost ~12 min per eval.
+        rows = jnp.arange(b)[:, None]
+        fil = jnp.ones((b, n_ent), bool).at[rows, fil_idx].set(
+            False, mode="drop")
+        fil_t = jnp.ones((b, n_ent), bool).at[rows, filt_idx].set(
+            False, mode="drop")
         sums = frontier_rank_metric_sums(prob, visited, objs, qmask, fil,
                                          fil_t)
         sums["loss_sum"] = nll_softmax_loss(scores, objs, qmask) * jnp.sum(
             qmask)
         overflow = jnp.any(aux["edge_overflow"]) | jnp.any(aux["node_overflow"])
         return sums, overflow
+
+    _EX_SUM_KEYS = tuple(
+        [f"{pre}_{s}_sum" for pre in ("raw", "fil", "fil_t")
+         for s in ("rr", "h1", "h3", "h10", "mr")]
+        + ["count", "found_sum", "loss_sum"])
+
+    def _eval_scan_ex_impl(self, params, kgarrs, subs_a, rels_a, objs_a,
+                           times_a, qmask_a, fil_a, filt_a,
+                           caps: FrontierCaps):
+        """Extrapolation raw/fil/fil_t eval over staged batches in one
+        dispatch (mirrors `_eval_scan_impl`)."""
+
+        def body(carry, batch):
+            sums_acc, ov = carry
+            sums, overflow = self._eval_step_ex_impl(params, kgarrs, *batch,
+                                                     caps)
+            return ({k: sums_acc[k] + v for k, v in sums.items()},
+                    ov | overflow), None
+
+        init_sums = {k: jnp.zeros(()) for k in self._EX_SUM_KEYS}
+        (sums, ov), _ = jax.lax.scan(
+            body, (init_sums, jnp.zeros((), bool)),
+            (subs_a, rels_a, objs_a, times_a, qmask_a, fil_a, filt_a))
+        return sums, ov
 
     # ------------------------------------------------------------------
     def _caps_cache_path(self, split: str, b: int) -> Optional[str]:
@@ -315,22 +384,6 @@ class TemporalTrainer:
                 edge_caps[i] = max(edge_caps[i], _round_up(ec[i] + 8))
         self.caps[split] = FrontierCaps(tuple(node_caps), tuple(edge_caps))
         self._persist_caps(split, b)
-
-    def _batches(self, data: np.ndarray, b: int, rows: Optional[np.ndarray]):
-        """Yield (batch, qmask, row_ids) padded to b."""
-        for start in range(0, len(data), b):
-            batch = data[start:start + b]
-            rid = rows[start:start + b] if rows is not None else None
-            pad = b - len(batch)
-            qmask = np.concatenate([np.ones(len(batch), bool),
-                                    np.zeros(pad, bool)])
-            if pad:
-                batch = np.concatenate(
-                    [batch, np.zeros((pad, batch.shape[1]), np.int64)])
-                if rid is not None:
-                    rid = np.concatenate([rid, np.full(pad, rid[-1] if len(rid)
-                                                       else 0)])
-            yield batch, qmask, rid
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> float:
@@ -417,34 +470,32 @@ class TemporalTrainer:
         b = cfg.eval_batch_size
         caps = self._get_caps(f"eval_{split}", data, b)
         if cfg.mode == "extrapolation":
-            sp2o, spt2o = self._filters()
+            nb = -(-len(data) // b)
+            pad = nb * b - len(data)
+            padded = np.concatenate([data, np.zeros((pad, 4), np.int64)])
+            qmask = np.ones(nb * b, bool)
+            if pad:
+                qmask[-pad:] = False
+            cols = [padded[:, j].reshape(nb, b) for j in range(4)]
+            qm = qmask.reshape(nb, b)
+            fil3, filt3 = self._staged_filters(split, data, b)
             for attempt in range(3):
-                partials, overflows = [], []
-                for batch, qmask, _ in self._batches(data, b, None):
-                    args = [
-                        self.params, self._kgarrs,
-                        jnp.asarray(batch[:, 0], jnp.int32),
-                        jnp.asarray(batch[:, 1], jnp.int32),
-                        jnp.asarray(batch[:, 2], jnp.int32),
-                        jnp.asarray(batch[:, 3], jnp.int32),
-                        jnp.asarray(qmask),
-                    ]
-                    fil = np.ones((b, kg.n_ent), bool)
-                    fil_t = np.ones((b, kg.n_ent), bool)
-                    for i in range(len(batch)):
-                        if not qmask[i]:
-                            continue
-                        s, p, o, t = batch[i]
-                        known = sp2o.get((s, p), ())
-                        fil[i, [e for e in known if e != o]] = False
-                        known_t = spt2o.get((s, p, t), ())
-                        fil_t[i, [e for e in known_t if e != o]] = False
-                    sums, overflow = self._eval_step_ex(
-                        *args, jnp.asarray(fil), jnp.asarray(fil_t), caps)
-                    partials.append(sums)
-                    overflows.append(overflow)
-                if not bool(np.any(jax.device_get(overflows))):
-                    return self._combine(jax.device_get(partials))
+                partials, overflow_seen = [], False
+                for start in range(0, nb, cfg.scan_chunk):
+                    sl = slice(start, min(start + cfg.scan_chunk, nb))
+                    xs = tuple(jnp.asarray(c[sl], jnp.int32)
+                               for c in cols) + (
+                        jnp.asarray(qm[sl]),
+                        jnp.asarray(fil3[sl], jnp.int32),
+                        jnp.asarray(filt3[sl], jnp.int32))
+                    sums, overflow = self._eval_scan_ex(
+                        self.params, self._kgarrs, *xs, caps)
+                    if bool(overflow):
+                        overflow_seen = True
+                        break
+                    partials.append(jax.device_get(sums))
+                if not overflow_seen:
+                    return self._combine(partials)
                 self._recalibrate_exact(f"eval_{split}", data, b)
                 caps = self.caps[f"eval_{split}"]
             raise RuntimeError("temporal eval caps failed to stabilize")
@@ -498,6 +549,16 @@ class TemporalTrainer:
             out["mrr"], out["h1"], out["h3"], out["h10"] = (
                 out["fil_mrr"], out["fil_h1"], out["fil_h3"], out["fil_h10"])
         return out
+
+    def _staged_filters(self, split: str, data: np.ndarray, b: int):
+        key = (split, len(data), b)
+        cached = self._fil_cache.get(key)
+        if cached is None:
+            sp2o, spt2o = self._filters()
+            cached = stage_filter_indices(sp2o, spt2o, data, b,
+                                          self.kg.n_ent)
+            self._fil_cache[key] = cached
+        return cached
 
     def _filters(self):
         if not hasattr(self, "_sp2o"):

@@ -33,10 +33,13 @@ from redgnn_tpu.ops.ranking import frontier_rank_metric_sums
 class XErteTrainer:
     def __init__(self, kg: TemporalKG, cfg: XErteConfig,
                  lr: float = 1e-3, batch_size: int = 128,
-                 grad_accum_steps: int = 1, seed: int = 1):
+                 grad_accum_steps: int = 1, seed: int = 1,
+                 epochs: int = 20):
         self.kg = kg
         self.cfg = cfg
         self.batch_size = batch_size
+        self.epochs = epochs
+        self._fil_cache: Dict[tuple, tuple] = {}
         self.model = XErte(cfg)
 
         rng = jax.random.PRNGKey(seed)
@@ -94,9 +97,17 @@ class XErteTrainer:
         return params, opt_state, loss, overflow
 
     def _eval_step_impl(self, params, kgarrs, subs, rels, objs, times,
-                        qmask, fil, fil_t, seed):
+                        qmask, fil_idx, filt_idx, seed):
         mass, aux = self._apply(params, kgarrs, subs, rels, times, qmask,
                                 seed)
+        # keep-masks scattered on device from padded index lists (pad id =
+        # n_ent, dropped) — see temporal_loop.stage_filter_indices
+        b = subs.shape[0]
+        rows = jnp.arange(b)[:, None]
+        fil = jnp.ones((b, self.cfg.n_ent), bool).at[rows, fil_idx].set(
+            False, mode="drop")
+        fil_t = jnp.ones((b, self.cfg.n_ent), bool).at[rows, filt_idx].set(
+            False, mode="drop")
         sums = frontier_rank_metric_sums(mass, aux["visited"], objs, qmask,
                                          fil, fil_t)
         sums["loss_sum"] = bce_loss(mass, objs, qmask) * jnp.sum(qmask)
@@ -153,32 +164,34 @@ class XErteTrainer:
             self._spt2o = {k: np.array(sorted(v)) for k, v in spt2o.items()}
         return self._sp2o, self._spt2o
 
+    def _staged_filters(self, split: str, data, b: int):
+        from redgnn_tpu.train.temporal_loop import stage_filter_indices
+
+        key = (split, len(data), b)
+        cached = self._fil_cache.get(key)
+        if cached is None:
+            sp2o, spt2o = self._filters()
+            cached = stage_filter_indices(sp2o, spt2o, data, b,
+                                          self.cfg.n_ent)
+            self._fil_cache[key] = cached
+        return cached
+
     def evaluate(self, split: str) -> Dict[str, float]:
         kg = self.kg
         data = kg.splits[split]
         b = self.batch_size
-        sp2o, spt2o = self._filters()
+        fil3, filt3 = self._staged_filters(split, data, b)
         for _attempt in range(6):
             partials, overflows = [], []
-            for batch, qmask in self._batches(data, b):
-                fil = np.ones((b, kg.n_ent), bool)
-                fil_t = np.ones((b, kg.n_ent), bool)
-                for i in range(len(batch)):
-                    if not qmask[i]:
-                        continue
-                    h, r, t, tau = batch[i]
-                    fil[i, [e for e in sp2o.get((h, r), ())
-                            if e != t]] = False
-                    fil_t[i, [e for e in spt2o.get((h, r, tau), ())
-                              if e != t]] = False
+            for bi, (batch, qmask) in enumerate(self._batches(data, b)):
                 sums, ov = self._eval_step(
                     self.params, self._kgarrs,
                     jnp.asarray(batch[:, 0], jnp.int32),
                     jnp.asarray(batch[:, 1], jnp.int32),
                     jnp.asarray(batch[:, 2], jnp.int32),
                     jnp.asarray(batch[:, 3], jnp.int32),
-                    jnp.asarray(qmask), jnp.asarray(fil),
-                    jnp.asarray(fil_t), jnp.int32(0),
+                    jnp.asarray(qmask), jnp.asarray(fil3[bi], jnp.int32),
+                    jnp.asarray(filt3[bi], jnp.int32), jnp.int32(0),
                 )
                 partials.append(sums)
                 overflows.append(ov)
@@ -251,7 +264,7 @@ class XErteTrainer:
             start_epoch: int = 0) -> Dict[str, Any]:
         from redgnn_tpu.utils.checkpoint import save_latest
 
-        epochs = epochs or 20
+        epochs = epochs or self.epochs
         best: Dict[str, Any] = {"valid_mrr": -1.0}
         for epoch in range(start_epoch, epochs):
             t0 = time.time()

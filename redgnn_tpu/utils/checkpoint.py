@@ -38,6 +38,11 @@ def new_checkpoint_dir(root: str, prefix: str = "checkpoints") -> str:
 
 def _write_host(path: str, host: Optional[Dict[str, Any]]) -> None:
     if host is None:
+        # don't leave a stale sidecar paired with a host-less save
+        try:
+            os.remove(path + ".host.json")
+        except OSError:
+            pass
         return
     tmp = path + ".host.tmp"
     with open(tmp, "w") as f:
@@ -105,8 +110,11 @@ def save_latest(ckpt_dir: str, state: Dict[str, Any], epoch: int,
     with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(state)))
     path = os.path.join(ckpt_dir, "latest.msgpack")
-    os.replace(tmp, path)
+    # sidecar first, then the msgpack rename: a crash in between pairs the
+    # OLD msgpack with the new sidecar for one restart, never a NEW
+    # checkpoint with a stale lr/plateau/rng sidecar
     _write_host(path, host)
+    os.replace(tmp, path)
     return path
 
 

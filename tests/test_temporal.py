@@ -332,3 +332,60 @@ def test_n_time_covers_eval_splits_without_self_loops():
         graph_from_all_splits=False)
     for name in ("valid", "test"):
         assert int(kg.splits[name][:, 3].max()) < kg.n_time
+
+
+def test_staged_filters_match_dense(tmp_path, rng):
+    """stage_filter_indices + device scatter == the brute-force dense
+    keep-masks the round-1 host loop built per batch."""
+    from redgnn_tpu.train.temporal_loop import stage_filter_indices
+
+    kg = _make_kg(tmp_path, rng)
+    data = kg.splits["valid"][:20]
+    b = 8
+    from collections import defaultdict
+    sp2o, spt2o = defaultdict(set), defaultdict(set)
+    for split in ("train", "valid", "test"):
+        for s, p, o, t in kg.splits[split]:
+            sp2o[(s, p)].add(o)
+            spt2o[(s, p, t)].add(o)
+    sp2o = {k: np.array(sorted(v)) for k, v in sp2o.items()}
+    spt2o = {k: np.array(sorted(v)) for k, v in spt2o.items()}
+    fil3, filt3 = stage_filter_indices(sp2o, spt2o, data, b, kg.n_ent)
+    nb = -(-len(data) // b)
+    assert fil3.shape[:2] == (nb, b) and filt3.shape[:2] == (nb, b)
+    for bi in range(nb):
+        rows = jnp.arange(b)[:, None]
+        got = np.asarray(jnp.ones((b, kg.n_ent), bool).at[
+            rows, jnp.asarray(fil3[bi], jnp.int32)].set(False, mode="drop"))
+        got_t = np.asarray(jnp.ones((b, kg.n_ent), bool).at[
+            rows, jnp.asarray(filt3[bi], jnp.int32)].set(False, mode="drop"))
+        for i in range(b):
+            gi = bi * b + i
+            exp = np.ones(kg.n_ent, bool)
+            exp_t = np.ones(kg.n_ent, bool)
+            if gi < len(data):
+                s, p, o, t = data[gi]
+                exp[[e for e in sp2o.get((s, p), ()) if e != o]] = False
+                exp_t[[e for e in spt2o.get((s, p, t), ()) if e != o]] = False
+            np.testing.assert_array_equal(got[i], exp)
+            np.testing.assert_array_equal(got_t[i], exp_t)
+
+
+def test_adam_coupled_weight_decay(tmp_path, rng):
+    """optimizer='adam' applies torch-style coupled L2: a parameter with
+    zero gradient still shrinks (`Temporal/extrapolation/main.py:217`)."""
+    import optax
+
+    kg = _make_kg(tmp_path, rng)
+    cfg = TemporalTrainConfig(hidden_dim=8, attn_dim=4, n_layer=1,
+                              optimizer="adam", weight_decay=0.1, lr=1e-2,
+                              batch_size=4)
+    trainer = TemporalTrainer(kg, cfg)
+    params = {"w": jnp.ones((3,))}
+    opt_state = trainer.tx.init(params)
+    grads = {"w": jnp.zeros((3,))}
+    updates, _ = trainer.tx.update(grads, opt_state, params)
+    new = optax.apply_updates(params, updates)
+    # coupled decay routes wd*p through the Adam moments: update != 0
+    assert float(jnp.abs(new["w"] - 1.0).max()) > 1e-4
+    assert float(new["w"][0]) < 1.0
