@@ -80,6 +80,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--set", nargs="*", metavar="FIELD=VALUE",
                    help="override any config field")
+    p.add_argument("--mesh", default=None, metavar="D[xE]",
+                   help="shard the run over a device mesh: D data-parallel"
+                        " shards (query-parallel), optionally x E "
+                        "edge-parallel slices per shard (static models "
+                        "only). Example: --mesh 4x2 on 8 chips.")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a jax backend (the axon tunnel plugin "
                         "overrides JAX_PLATFORMS, so --platform cpu is the "
@@ -108,6 +113,22 @@ def main(argv=None):
     from redgnn_tpu.utils.reporting import ExperimentLogger
     from redgnn_tpu.utils.memory import PeakRSSMonitor, write_memory_report
 
+    mesh = None
+    if args.mesh:
+        from redgnn_tpu.parallel.mesh import make_mesh
+
+        parts = args.mesh.lower().split("x")
+        n_data = int(parts[0])
+        n_edge = int(parts[1]) if len(parts) > 1 else 1
+        if args.model != "redgnn":
+            raise SystemExit("--mesh supports the redgnn model only")
+        if args.task not in ("transductive", "inductive") and n_edge > 1:
+            raise SystemExit("temporal tasks shard the data axis only; "
+                             "use --mesh D")
+        mesh = make_mesh(n_data, n_edge)
+        print(f"mesh: {n_data} data x {n_edge} edge over "
+              f"{n_data * n_edge} devices")
+
     dataset = os.path.basename(args.data_path.rstrip("/"))
 
     if args.task in ("transductive", "inductive"):
@@ -127,7 +148,7 @@ def main(argv=None):
             from redgnn_tpu.graph.inductive import InductiveKG
 
             kg = InductiveKG.load(args.data_path)
-        trainer = StaticTrainer(kg, cfg)
+        trainer = StaticTrainer(kg, cfg, mesh=mesh)
     else:
         from redgnn_tpu.graph.temporal import TemporalKG
         from redgnn_tpu.train.temporal_loop import TemporalTrainer
@@ -179,7 +200,7 @@ def main(argv=None):
 
             trainer = SimplETrainer(kg, seed=cfg.seed, epochs=cfg.epochs)
         else:
-            trainer = TemporalTrainer(kg, cfg)
+            trainer = TemporalTrainer(kg, cfg, mesh=mesh)
 
     logger = ExperimentLogger(args.results_dir, dataset, cfg,
                               sqlite_path=args.sqlite)

@@ -103,6 +103,8 @@ class TemporalModelConfig:
     # prefix-sum backward for hidden[src] in bitmap hops (src is
     # non-decreasing in expansion order; ops/gather.take_rows_sorted)
     scan_src_backward: bool = True
+    mxu_gather_backward: bool = True  # take_rows custom VJP (off inside
+    # shard_map: replication of custom-VJP residuals can't be vma-inferred)
     edge_dropout: float = 0.0  # random per-hop edge drop during training
     # (the interpolation prototype's 50% drop, `RED-GNN/model.py:188-189`)
     # ablations (`Temporal/interpolation/model_cuda_aba.py:14,189,353`)
@@ -269,8 +271,12 @@ class TRedGNN(nn.Module):
                 # take_rows: MXU one-hot backward for the relation table
                 # and the per-query (B-row) lookup instead of per-edge
                 # scatter-adds (falls back to scatter for huge E*R)
-                hr = take_rows(rela, rel)
-                h_qr = take_rows(take_rows(rela, rels), batch)
+                if cfg.mxu_gather_backward:
+                    hr = take_rows(rela, rel)
+                    h_qr = take_rows(take_rows(rela, rels), batch)
+                else:
+                    hr = rela[rel]
+                    h_qr = rela[rels][batch]
 
                 t_e = e_time.astype(jnp.float32)
                 t_q = times[batch].astype(jnp.float32)

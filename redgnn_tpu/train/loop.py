@@ -75,11 +75,22 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
 class StaticTrainer:
     """Epoch driver for static transductive / inductive KGC."""
 
-    def __init__(self, kg, cfg: TrainConfig):
+    def __init__(self, kg, cfg: TrainConfig, mesh=None):
         """``kg`` is a StaticKG or InductiveKG (anything with train_data,
-        graph/graph_np, n_ent/n_rel, eval_spec(split), resplit(rng))."""
+        graph/graph_np, n_ent/n_rel, eval_spec(split), resplit(rng)).
+
+        ``mesh`` (axes 'data'[, 'edge']) runs the train step through
+        `parallel/shard.py.make_dp_loss_fn`: queries shard over 'data',
+        the per-hop edge math optionally slices over 'edge', loss psums
+        over ICI. Eval stays replicated (it is a small fraction of epoch
+        time and the eval graph differs per split)."""
         self.kg = kg
         self.cfg = cfg
+        self.mesh = mesh
+        self.n_data = int(mesh.shape["data"]) if mesh is not None else 1
+        if cfg.n_batch % self.n_data:
+            raise ValueError(f"n_batch ({cfg.n_batch}) must divide the "
+                             f"mesh data axis ({self.n_data})")
         self.model_cfg = ModelConfig(
             n_ent=kg.n_ent, n_rel=kg.n_rel, hidden_dim=cfg.hidden_dim,
             attn_dim=cfg.attn_dim, n_layer=cfg.n_layer, dropout=cfg.dropout,
@@ -113,8 +124,10 @@ class StaticTrainer:
 
         # --- frontier capacity calibration (train graph, train batch) ---
         rowptr, _, tail = kg.graph_np
+        # per-shard caps under a mesh: each chip expands b/n_data queries
         self.train_caps = calibrate_caps(
-            rowptr, tail, kg.n_ent, kg.train_data[:, 0], cfg.n_batch,
+            rowptr, tail, kg.n_ent, kg.train_data[:, 0],
+            cfg.n_batch // self.n_data,
             cfg.n_layer, headroom=cfg.cap_headroom,
         )
         # per-split eval caps + jitted eval steps, built lazily (the eval
@@ -186,19 +199,32 @@ class StaticTrainer:
                          qmask, rng, caps: FrontierCaps):
         drop_rng, scrub_rng = jax.random.split(rng)
 
-        def loss_fn(p):
-            scores, aux = self.model.apply(
-                {"params": p}, graph, subs, rels, qmask, caps, True,
-                rngs={"dropout": drop_rng},
-            )
-            return softmax_ce_loss(scores, objs, qmask), aux
+        if self.mesh is not None:
+            from redgnn_tpu.parallel.shard import make_dp_loss_fn
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            dp_loss = make_dp_loss_fn(self.model_cfg, self.mesh, caps)
+            (loss, overflow), grads = jax.value_and_grad(
+                dp_loss, has_aux=True)(params, graph, subs, rels, objs,
+                                       qmask, drop_rng)
+            num_edges = jnp.zeros(self.cfg.n_layer, jnp.int32)
+            overflow = overflow > 0
+        else:
+            def loss_fn(p):
+                scores, aux = self.model.apply(
+                    {"params": p}, graph, subs, rels, qmask, caps, True,
+                    rngs={"dropout": drop_rng},
+                )
+                return softmax_ce_loss(scores, objs, qmask), aux
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            overflow = (jnp.any(aux["edge_overflow"])
+                        | jnp.any(aux["node_overflow"]))
+            num_edges = aux["num_edges"]
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = nan_scrub(params, scrub_rng)
-        overflow = jnp.any(aux["edge_overflow"]) | jnp.any(aux["node_overflow"])
-        return params, opt_state, loss, overflow, aux["num_edges"]
+        return params, opt_state, loss, overflow, num_edges
 
     def _train_epoch_scan_impl(self, params, opt_state, graph, subs_all,
                                rels_all, objs_all, qmask_all, rng,
@@ -309,7 +335,8 @@ class StaticTrainer:
             # replay epoch from snapshot with exact capacities
             self.params, self.opt_state, self.rng = snap
             self.train_caps = self._recalibrate_exact(
-                self.train_caps, kg.graph_np, data, cfg.n_batch
+                self.train_caps, kg.graph_np, data,
+                cfg.n_batch // self.n_data
             )
         else:
             raise RuntimeError("frontier caps failed to stabilize")

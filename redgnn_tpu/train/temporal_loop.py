@@ -90,9 +90,21 @@ def _nan_scrub(params, key):
 
 
 class TemporalTrainer:
-    def __init__(self, kg: TemporalKG, cfg: TemporalTrainConfig):
+    def __init__(self, kg: TemporalKG, cfg: TemporalTrainConfig,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        """``mesh`` (axes 'data'[, 'edge']) runs every train/eval step
+        data-parallel via shard_map: queries shard over 'data', graph
+        arrays and params replicate, loss/metric sums psum over ICI.
+        The reference has no distributed path (SURVEY §2.6); this is the
+        temporal counterpart of `parallel/shard.py.make_dp_loss_fn`."""
         self.kg = kg
         self.cfg = cfg
+        self.mesh = mesh
+        self.n_data = int(mesh.shape["data"]) if mesh is not None else 1
+        if cfg.batch_size % self.n_data or cfg.eval_batch_size % self.n_data:
+            raise ValueError(
+                f"batch sizes ({cfg.batch_size}/{cfg.eval_batch_size}) must "
+                f"divide the mesh data axis ({self.n_data})")
         self.model_cfg = TemporalModelConfig(
             n_ent=kg.n_ent,
             n_rel_vocab=kg.n_rel + 1,
@@ -106,6 +118,14 @@ class TemporalTrainer:
             scan_src_backward=cfg.scan_src_backward,
         )
         self.model = TRedGNN(self.model_cfg)
+        if mesh is not None:
+            import dataclasses as _dc
+
+            # custom-VJP replication can't be vma-inferred inside
+            # shard_map (same constraint as parallel/shard.py)
+            self._shard_model = TRedGNN(_dc.replace(
+                self.model_cfg, mxu_gather_backward=False,
+                scan_src_backward=False))
 
         rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(rng)
@@ -219,40 +239,109 @@ class TemporalTrainer:
 
     # ------------------------------------------------------------------
     def _apply(self, params, kgarrs, subs, rels, times, qmask, caps,
-               exclude, train, rng=None):
+               exclude, train, rng=None, model=None):
         # NOTE: graph arrays are threaded as jit ARGUMENTS, never read from
         # self inside traced code — closure capture would embed them as
         # compile-time constants in the HLO, which the remote-compile
         # tunnel cannot digest (observed as a wedged first transfer).
         graph, etime, ekey, selfloop_slot, time_rowptr = kgarrs
         kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
-        return self.model.apply(
+        return (model or self.model).apply(
             {"params": params}, graph, etime,
             subs, rels, times, qmask, caps, exclude, train,
             ekey, selfloop_slot, time_rowptr, **kwargs,
         )
+
+    def _cap_b(self, b: int) -> int:
+        """Frontier caps are per-shard under a mesh (each chip expands its
+        own b/n_data sub-batch)."""
+        return b // self.n_data
+
+    def _make_sharded_loss(self, caps: FrontierCaps):
+        """Data-parallel global-mean NLL through shard_map (differentiable;
+        jax transposes the psums). exclude stays REPLICATED so every shard
+        drops the whole global batch's quadruples — bit-exact with the
+        single-device leave-one-out semantics (`interpolation/...:110`)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def fwd(params, kgarrs, subs, rels, objs, times, qmask, excl, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            scores, aux = self._apply(params, kgarrs, subs, rels, times,
+                                      qmask, caps, excl, True, rng,
+                                      model=self._shard_model)
+            logp = jax.nn.log_softmax(scores, axis=1)
+            p = jnp.exp(logp[jnp.arange(scores.shape[0]), objs])
+            per_row = -jnp.log(p + 1e-12)
+            loss_sum = jax.lax.psum(
+                jnp.sum(jnp.where(qmask, per_row, 0.0)), "data")
+            count = jax.lax.psum(jnp.sum(qmask), "data")
+            ov = jnp.any(aux["edge_overflow"]) | jnp.any(aux["node_overflow"])
+            ov = jax.lax.pmax(ov.astype(jnp.int32), "data") > 0
+            return loss_sum / jnp.maximum(count, 1), ov
+
+        d = P("data")
+        return shard_map(fwd, mesh=self.mesh,
+                         in_specs=(P(), P(), d, d, d, d, d, P(), P()),
+                         out_specs=(P(), P()))
 
     def _train_step_impl(self, params, opt_state, kgarrs, subs, rels,
                          objs, times, qmask, exclude, rng,
                          caps: FrontierCaps):
         drop_rng, scrub_rng = jax.random.split(rng)
 
-        def loss_fn(p):
-            scores, aux = self._apply(p, kgarrs, subs, rels, times, qmask,
-                                      caps, exclude, True, drop_rng)
-            return nll_softmax_loss(scores, objs, qmask), aux
+        if self.mesh is not None:
+            sharded = self._make_sharded_loss(caps)
+            (loss, overflow), grads = jax.value_and_grad(
+                sharded, has_aux=True)(params, kgarrs, subs, rels, objs,
+                                       times, qmask, exclude, drop_rng)
+        else:
+            def loss_fn(p):
+                scores, aux = self._apply(p, kgarrs, subs, rels, times,
+                                          qmask, caps, exclude, True,
+                                          drop_rng)
+                return nll_softmax_loss(scores, objs, qmask), aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            overflow = (jnp.any(aux["edge_overflow"])
+                        | jnp.any(aux["node_overflow"]))
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = _nan_scrub(params, scrub_rng)
-        overflow = jnp.any(aux["edge_overflow"]) | jnp.any(aux["node_overflow"])
         return params, opt_state, loss, overflow
+
+    def _shard_eval(self, local_fn, n_batch_args: int):
+        """Wrap a local eval step: batch args shard over 'data', metric
+        sums psum back to globals."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def fwd(params, kgarrs, *batch):
+            sums, ov = local_fn(params, kgarrs, *batch)
+            sums = {k: jax.lax.psum(v, "data") for k, v in sums.items()}
+            ov = jax.lax.pmax(ov.astype(jnp.int32), "data") > 0
+            return sums, ov
+
+        d = P("data")
+        return shard_map(fwd, mesh=self.mesh,
+                         in_specs=(P(), P()) + (d,) * n_batch_args,
+                         out_specs=(P(), P()))
 
     def _eval_step_impl(self, params, kgarrs, subs, rels, objs, times,
                         qmask, caps: FrontierCaps):
+        if self.mesh is not None:
+            local = lambda p, k, *b: self._eval_step_local(
+                p, k, *b, caps, model=self._shard_model)
+            return self._shard_eval(local, 5)(params, kgarrs, subs, rels,
+                                              objs, times, qmask)
+        return self._eval_step_local(params, kgarrs, subs, rels, objs,
+                                     times, qmask, caps)
+
+    def _eval_step_local(self, params, kgarrs, subs, rels, objs, times,
+                         qmask, caps: FrontierCaps, model=None):
         scores, aux = self._apply(params, kgarrs, subs, rels, times, qmask,
-                                  caps, None, False)
+                                  caps, None, False, model=model)
         sums = raw_rank_metric_sums(scores, objs, qmask)
         sums["loss_sum"] = nll_softmax_loss(scores, objs, qmask) * jnp.sum(
             qmask)
@@ -261,8 +350,21 @@ class TemporalTrainer:
 
     def _eval_step_ex_impl(self, params, kgarrs, subs, rels, objs, times,
                            qmask, fil_idx, filt_idx, caps: FrontierCaps):
+        if self.mesh is not None:
+            local = lambda p, k, *b: self._eval_step_ex_local(
+                p, k, *b, caps, model=self._shard_model)
+            return self._shard_eval(local, 7)(params, kgarrs, subs, rels,
+                                              objs, times, qmask, fil_idx,
+                                              filt_idx)
+        return self._eval_step_ex_local(params, kgarrs, subs, rels, objs,
+                                        times, qmask, fil_idx, filt_idx,
+                                        caps)
+
+    def _eval_step_ex_local(self, params, kgarrs, subs, rels, objs, times,
+                            qmask, fil_idx, filt_idx, caps: FrontierCaps,
+                            model=None):
         scores, aux = self._apply(params, kgarrs, subs, rels, times, qmask,
-                                  caps, None, False)
+                                  caps, None, False, model=model)
         b = subs.shape[0]
         n_ent = self.model_cfg.n_ent
         keys = aux["frontier_keys"]
@@ -397,7 +499,8 @@ class TemporalTrainer:
         # graph row = train-file row for interpolation-style graphs
         rows = kg.exclusion_slots(order) if cfg.mode == "interpolation" \
             else None
-        caps = self._get_caps("train", data, cfg.batch_size)
+        caps = self._get_caps("train", data,
+                               self._cap_b(cfg.batch_size))
         b = cfg.batch_size
         nb = -(-len(data) // b)
         pad = nb * b - len(data)
@@ -455,7 +558,8 @@ class TemporalTrainer:
             print(f"  epoch {epoch}: frontier caps overflowed, "
                   "recalibrating + replaying", flush=True)
             self.params, self.opt_state, self.rng = snap
-            self._recalibrate_exact("train", data, cfg.batch_size)
+            self._recalibrate_exact("train", data,
+                                    self._cap_b(cfg.batch_size))
             caps = self.caps["train"]
         else:
             raise RuntimeError("temporal train caps failed to stabilize")
@@ -468,7 +572,7 @@ class TemporalTrainer:
         if cfg.max_eval_batches is not None:
             data = data[: cfg.max_eval_batches * cfg.eval_batch_size]
         b = cfg.eval_batch_size
-        caps = self._get_caps(f"eval_{split}", data, b)
+        caps = self._get_caps(f"eval_{split}", data, self._cap_b(b))
         if cfg.mode == "extrapolation":
             nb = -(-len(data) // b)
             pad = nb * b - len(data)
@@ -496,7 +600,7 @@ class TemporalTrainer:
                     partials.append(jax.device_get(sums))
                 if not overflow_seen:
                     return self._combine(partials)
-                self._recalibrate_exact(f"eval_{split}", data, b)
+                self._recalibrate_exact(f"eval_{split}", data, self._cap_b(b))
                 caps = self.caps[f"eval_{split}"]
             raise RuntimeError("temporal eval caps failed to stabilize")
 
@@ -524,7 +628,7 @@ class TemporalTrainer:
                 partials.append(jax.device_get(sums))
             if not overflow_seen:
                 return self._combine(partials)
-            self._recalibrate_exact(f"eval_{split}", data, b)
+            self._recalibrate_exact(f"eval_{split}", data, self._cap_b(b))
             caps = self.caps[f"eval_{split}"]
         raise RuntimeError("temporal eval caps failed to stabilize")
 

@@ -91,3 +91,102 @@ def test_dp_matches_single_device(rng, n_data, n_edge):
     )
     assert int(overflow2) == 0
     np.testing.assert_allclose(float(loss2), float(ref_loss), rtol=1e-5)
+
+
+def test_temporal_dp_matches_single_device(tmp_path, rng):
+    """TRedGNN data-parallel step == single-device step on an 8-way mesh
+    (dropout off, replicated leave-one-out exclusion)."""
+    from test_temporal import _make_kg
+    from redgnn_tpu.train.temporal_loop import TemporalTrainer
+    from redgnn_tpu.utils.config import TemporalTrainConfig
+
+    kg = _make_kg(tmp_path, rng)
+    cfg = TemporalTrainConfig(hidden_dim=12, attn_dim=8, n_layer=2,
+                              dropout=0.0, lr=5e-3, batch_size=16,
+                              eval_batch_size=16, epochs=1)
+    single = TemporalTrainer(kg, cfg)
+    mesh = make_mesh(8, 1)
+    sharded = TemporalTrainer(kg, cfg, mesh=mesh)
+    # same seed -> identical init
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        single.params, sharded.params)
+
+    b = cfg.batch_size
+    data = kg.splits["train"][:b]
+    rows = kg.exclusion_slots(np.arange(b))
+    args = (jnp.asarray(data[:, 0], jnp.int32),
+            jnp.asarray(data[:, 1], jnp.int32),
+            jnp.asarray(data[:, 2], jnp.int32),
+            jnp.asarray(data[:, 3], jnp.int32),
+            jnp.ones(b, bool), jnp.asarray(rows, jnp.int32))
+    rng_key = jax.random.PRNGKey(3)
+    caps_s = single._get_caps("train", data, b)
+    caps_m = sharded._get_caps("train", data, sharded._cap_b(b))
+    assert caps_m.node_caps[0] == b // 8
+
+    p1, o1, loss1, ov1 = jax.jit(
+        single._train_step_impl, static_argnames=("caps",))(
+        single.params, single.opt_state, single._kgarrs, *args,
+        rng_key, caps_s)
+    p2, o2, loss2, ov2 = jax.jit(
+        sharded._train_step_impl, static_argnames=("caps",))(
+        sharded.params, sharded.opt_state, sharded._kgarrs, *args,
+        rng_key, caps_m)
+    assert not bool(ov1) and not bool(ov2)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5),
+        p1, p2)
+
+    # eval parity: full evaluate() through the sharded scan path
+    m1 = single.evaluate("valid")
+    m2 = sharded.evaluate("valid")
+    for k in ("mrr", "h1", "h10", "n"):
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-5, atol=1e-7)
+
+
+def test_temporal_dp_extrapolation_eval(tmp_path, rng):
+    """Extrapolation sharded eval (fil/fil_t scatter per shard) matches
+    the single-device metrics."""
+    from test_temporal import _make_kg
+    from redgnn_tpu.train.temporal_loop import TemporalTrainer
+    from redgnn_tpu.utils.config import TemporalTrainConfig
+
+    kg = _make_kg(tmp_path, rng)
+    cfg = TemporalTrainConfig(hidden_dim=12, attn_dim=8, n_layer=2,
+                              dropout=0.0, batch_size=16,
+                              eval_batch_size=16, epochs=1,
+                              mode="extrapolation", window=6)
+    single = TemporalTrainer(kg, cfg)
+    sharded = TemporalTrainer(kg, cfg, mesh=make_mesh(8, 1))
+    m1 = single.evaluate("valid")
+    m2 = sharded.evaluate("valid")
+    for k in ("raw_mrr", "fil_mrr", "fil_t_mrr", "found_rate", "n"):
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-5, atol=1e-7)
+
+
+def test_static_trainer_mesh_matches_single_device(tmp_path, rng):
+    """StaticTrainer(mesh=...) — the CLI-reachable path — produces the
+    same first-epoch loss and params as the single-device trainer
+    (dropout off)."""
+    from test_train_loop import write_kg
+    from redgnn_tpu.graph.kg import StaticKG
+    from redgnn_tpu.train.loop import StaticTrainer
+
+    kg1 = StaticKG.load(str(write_kg(tmp_path, rng)))
+    kg2 = StaticKG.load(str(tmp_path))
+    cfg = TrainConfig(hidden_dim=16, attn_dim=5, n_layer=2, dropout=0.0,
+                      lr=0.01, lamb=1e-5, n_batch=16, n_tbatch=16, epochs=1)
+    single = StaticTrainer(kg1, cfg)
+    sharded = StaticTrainer(kg2, cfg, mesh=make_mesh(8, 1))
+    assert sharded.train_caps.node_caps[0] == 2
+    l1 = single.train_epoch(0)
+    l2 = sharded.train_epoch(0)
+    np.testing.assert_allclose(l1, l2, rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4),
+        single.params, sharded.params)
