@@ -311,6 +311,22 @@ class TemporalKG:
         self.selfloop_slot = jnp.asarray(selfloop_slot)
         self.time_rowptr = jnp.asarray(self.time_rowptr_np)
 
+        # Tail-sorted edge table for DENSE-mode hops (interpolation): once
+        # a frontier saturates (~all entities reached, which happens by
+        # hop 3 on whole-timeline graphs), per-frontier expansion gathers
+        # are pure overhead — every query needs every edge. Sorting the
+        # static table by tail makes per-node aggregation ranges STATIC
+        # (tail_rowptr), so the segment-sum needs no scatter and the edge
+        # metadata is read sequentially, amortized across the batch.
+        heads_csr = sorted_q[:, 0].astype(np.int32)
+        t_order = np.argsort(tail, kind="stable").astype(np.int32)
+        tail_counts = np.bincount(tail, minlength=self.n_ent)
+        tail_rowptr = np.zeros(self.n_ent + 1, dtype=np.int32)
+        np.cumsum(tail_counts, out=tail_rowptr[1:])
+        self.dense_np = (heads_csr[t_order], rel[t_order], time[t_order],
+                         t_order, tail[t_order], tail_rowptr)
+        self.dense = tuple(jnp.asarray(a) for a in self.dense_np)
+
     def exclusion_slots(self, example_rows: np.ndarray) -> np.ndarray:
         """CSR slots of the given original graph rows (leave-one-out)."""
         return self.row_to_slot[example_rows]

@@ -107,6 +107,15 @@ class TemporalModelConfig:
     # shard_map: replication of custom-VJP residuals can't be vma-inferred)
     edge_dropout: float = 0.0  # random per-hop edge drop during training
     # (the interpolation prototype's 50% drop, `RED-GNN/model.py:188-189`)
+    # DENSE-mode hops (interpolation): once a hop's sparse edge cap
+    # approaches b x |edges| the frontier has saturated and per-frontier
+    # expansion gathers are pure overhead — switch to a batch-shared
+    # (n_ent, b, d) node layout over the static tail-sorted edge table
+    # (measured: the sparse path costs ~75-80ns per padded edge slot on
+    # v5e, ~10 latency-bound E-wide ops; dense needs 2).
+    dense_hops: bool = True
+    dense_switch: float = 0.5   # dense when edge_cap > switch * b * E
+    dense_agg: str = "sorted_scatter"  # or "cumsum" (range-diff of prefix)
     # ablations (`Temporal/interpolation/model_cuda_aba.py:14,189,353`)
     use_time: bool = True               # False => T_RED_GNN_wo_tau
     use_attention: bool = True          # False => T_RED_GNN_wo_Attn
@@ -133,6 +142,8 @@ class TRedGNN(nn.Module):
         ekey: Optional[jnp.ndarray] = None,          # (n_edges,) head*K+time
         selfloop_slot: Optional[jnp.ndarray] = None,  # (n_ent,)
         time_rowptr: Optional[jnp.ndarray] = None,   # (n_ent, K+1) offsets
+        dense_arrs: Optional[tuple] = None,  # (src, rel, time, slot, tail,
+        # tail_rowptr) tail-sorted — enables dense-mode hops
     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         cfg = self.cfg
         b = subs.shape[0]
@@ -198,8 +209,56 @@ class TRedGNN(nn.Module):
 
         from redgnn_tpu.models.redgnn import _resolve_dedup
 
+        # dense-mode plan: first hop whose sparse edge cap approaches the
+        # batch-shared whole-table cost switches to dense (trace-time
+        # decision — caps and shapes are static)
+        dense_from = None
+        if (cfg.mode == "interpolation" and cfg.dense_hops
+                and dense_arrs is not None):
+            n_all_edges = int(graph.tail.shape[0])
+            for i in range(cfg.n_layer):
+                if caps.edge_caps[i] >= cfg.dense_switch * b * n_all_edges:
+                    dense_from = i
+                    break
+        if dense_from is not None:
+            tsrc, trel, ttime, tslot, ttail, tail_rowptr = dense_arrs
+            if exclude_slots is not None:
+                # leave-one-out in dense order: one (E,) keep mask shared
+                # by the whole batch (np.delete semantics, `:110`)
+                excl_keep = ~jnp.any(
+                    tslot[:, None] == exclude_slots[None, :], axis=1)
+            else:
+                excl_keep = None
+        dense_state = None  # (hidden_dense (N,b,d), visited (N,b))
+
         windowed = cfg.mode == "extrapolation" and cfg.window is not None
         for i in range(cfg.n_layer):
+            if dense_from is not None and i >= dense_from:
+                rela = self.param(
+                    f"rela_embed_{i}", nn.initializers.xavier_uniform(),
+                    (cfg.n_rel_vocab, d),
+                )
+                a1_k = self.param(f"attn1_{i}", _uniform_init(),
+                                  (3 * d, cfg.attn_dim))
+                a2_k = self.param(f"attn2_{i}", _uniform_init(),
+                                  (cfg.attn_dim, 1))
+                if dense_state is None:
+                    dense_state = self._to_dense(node_keys, hidden, b)
+                use_dropout = train and cfg.dropout > 0
+                drop_rng = self.make_rng("dropout") if use_dropout else None
+                edrop_rng = (self.make_rng("dropout")
+                             if train and cfg.edge_dropout > 0 else None)
+                dense_state, n_nodes, n_edges = self._dense_hop(
+                    dense_state, rela, a1_k, a2_k, rels, times,
+                    tsrc, trel, ttime, ttail, tail_rowptr, excl_keep,
+                    time_embed if cfg.time_embedding == "periodic" else None,
+                    None if cfg.time_embedding == "periodic" else abs_table,
+                    past, now, future, drop_rng, edrop_rng)
+                aux["edge_overflow"].append(jnp.zeros((), bool))
+                aux["node_overflow"].append(jnp.zeros((), bool))
+                aux["num_nodes"].append(n_nodes)
+                aux["num_edges"].append(n_edges)
+                continue
             dedup = _resolve_dedup(cfg.dedup_impl, b * cfg.n_ent,
                                    caps.edge_caps[i], cfg.segment_impl)
             if windowed:
@@ -344,14 +403,19 @@ class TRedGNN(nn.Module):
 
         cls_w = self.param("classifier_w", _uniform_init(), (d, 1))
         cls_b = self.param("classifier_b", _uniform_init(d), (1,))
-        scores = (hidden @ cls_w + cls_b)[:, 0]
+        if dense_state is not None:
+            hidden_dense, visited = dense_state
+            scores_all = (hidden_dense @ cls_w)[:, :, 0].T + cls_b[0]
+            scores_all = jnp.where(visited.T, scores_all, 0.0)
+        else:
+            scores = (hidden @ cls_w + cls_b)[:, 0]
 
-        valid = node_keys != SENTINEL
-        batch_idx = jnp.where(valid, node_keys // cfg.n_ent, b)
-        ent_idx = jnp.where(valid, node_keys % cfg.n_ent, 0)
-        scores_all = jnp.zeros((b, cfg.n_ent)).at[batch_idx, ent_idx].set(
-            jnp.where(valid, scores, 0.0), mode="drop"
-        )
+            valid = node_keys != SENTINEL
+            batch_idx = jnp.where(valid, node_keys // cfg.n_ent, b)
+            ent_idx = jnp.where(valid, node_keys % cfg.n_ent, 0)
+            scores_all = jnp.zeros((b, cfg.n_ent)).at[batch_idx, ent_idx].set(
+                jnp.where(valid, scores, 0.0), mode="drop"
+            )
 
         if cfg.mode == "extrapolation":
             # normalized per-query distribution over the final frontier
@@ -365,3 +429,111 @@ class TRedGNN(nn.Module):
         for k in ("edge_overflow", "node_overflow", "num_nodes", "num_edges"):
             aux[k] = jnp.stack(aux[k])
         return scores_all, aux
+
+    # -- dense-mode hops ---------------------------------------------------
+    def _to_dense(self, node_keys, hidden, b):
+        """Sparse padded frontier -> batch-shared dense node state
+        (n_ent, b, d) + visited mask (n_ent, b)."""
+        cfg = self.cfg
+        valid = node_keys != SENTINEL
+        bidx = jnp.where(valid, node_keys // cfg.n_ent, b)  # b = dropped
+        eidx = jnp.where(valid, node_keys % cfg.n_ent, 0)
+        hidden_dense = jnp.zeros((cfg.n_ent, b, cfg.hidden_dim)).at[
+            eidx, bidx].set(hidden, mode="drop")
+        visited = jnp.zeros((cfg.n_ent, b), bool).at[eidx, bidx].set(
+            valid, mode="drop")
+        return hidden_dense, visited
+
+    def _dense_hop(self, state, rela, a1_k, a2_k, rels, times, tsrc, trel,
+                   ttime, ttail, tail_rowptr, excl_keep, time_embed,
+                   abs_table, past, now, future, drop_rng, edrop_rng):
+        """One propagation hop over the ENTIRE tail-sorted edge table,
+        shared across the batch (saturated-frontier regime).
+
+        Exactly the sparse hop's math (`model_cuda_new_embdding.py:147-202`)
+        with three structural changes that remove the per-edge latency ops:
+        edge metadata is read sequentially (no expansion gathers / dedup),
+        per-edge work amortizes over b (ONE row gather of width b(d+1) per
+        edge instead of b scalar-row gathers), and aggregation uses the
+        STATIC per-tail ranges (sorted scatter / prefix range-diff, no
+        dynamic segment discovery)."""
+        cfg = self.cfg
+        hidden_dense, visited = state
+        d = cfg.hidden_dim
+        b = hidden_dense.shape[1]
+        e_all = tsrc.shape[0]
+
+        # pack the visited bit as an extra channel: ONE gather serves both
+        packed = jnp.concatenate(
+            [hidden_dense, visited[:, :, None].astype(hidden_dense.dtype)],
+            -1)                                      # (N, b, d+1)
+        g = packed[tsrc]                             # (E, b, d+1)
+        hs = g[..., :d]
+        live = g[..., d] > 0.5                       # (E, b)
+
+        if cfg.mxu_gather_backward:
+            hr = take_rows(rela, trel)               # (E, d)
+            h_qr = take_rows(rela, rels)             # (b, d)
+        else:
+            hr = rela[trel]
+            h_qr = rela[rels]
+
+        t_e = ttime.astype(jnp.float32)
+        t_q = times.astype(jnp.float32)
+        delta = t_e[:, None] - t_q[None, :]          # (E, b)
+
+        msg = hs + hr[:, None, :]
+        if cfg.use_time:
+            if time_embed is not None:
+                msg = msg + time_embed(delta.reshape(-1)).reshape(
+                    e_all, b, d)
+            else:
+                t_idx = jnp.clip(ttime, 0, (cfg.n_time or 1) - 1)
+                msg = msg + abs_table[t_idx][:, None, :]
+        transformed = jnp.where(
+            (delta > 0)[..., None], future(msg),
+            jnp.where((delta < 0)[..., None], past(msg), now(msg)))
+        if cfg.use_attention:
+            pre = jnp.concatenate(
+                [hs, jnp.broadcast_to(hr[:, None, :], (e_all, b, d)),
+                 jnp.broadcast_to(h_qr[None, :, :], (e_all, b, d))], -1)
+            alpha = jax.nn.sigmoid(jax.nn.relu(pre @ a1_k) @ a2_k)
+            message = transformed * alpha
+        else:
+            message = transformed
+        keep = live
+        if excl_keep is not None:
+            keep = keep & excl_keep[:, None]
+        if edrop_rng is not None:
+            keep = keep & jax.random.bernoulli(
+                edrop_rng, 1.0 - cfg.edge_dropout, keep.shape)
+        message = jnp.where(keep[..., None], message, 0.0)
+
+        if cfg.dense_agg == "cumsum":
+            # range-diff of the prefix sum over static [start, end) spans
+            pref = jnp.cumsum(message, axis=0)
+            pref = jnp.concatenate(
+                [jnp.zeros((1, b, d), pref.dtype), pref], 0)
+            agg = pref[tail_rowptr[1:]] - pref[tail_rowptr[:-1]]
+            cnt = jnp.cumsum(keep.astype(jnp.int32), axis=0)
+            cnt = jnp.concatenate(
+                [jnp.zeros((1, b), jnp.int32), cnt], 0)
+            new_visited = (cnt[tail_rowptr[1:]]
+                           - cnt[tail_rowptr[:-1]]) > 0
+        else:
+            # tail ids ascend -> XLA sorted scatter-add
+            agg = segment_sum(message.reshape(e_all, b * d), ttail,
+                              cfg.n_ent, indices_are_sorted=True,
+                              impl="xla").reshape(cfg.n_ent, b, d)
+            new_visited = segment_sum(
+                keep.astype(jnp.float32), ttail, cfg.n_ent,
+                indices_are_sorted=True, impl="xla") > 0
+        if drop_rng is not None:
+            keep_n = jax.random.bernoulli(drop_rng, 1.0 - cfg.dropout,
+                                          agg.shape)
+            agg = jnp.where(keep_n, agg / (1.0 - cfg.dropout), 0.0)
+        h = TEMPORAL_ACTS[cfg.act](agg)
+        h = jnp.where(new_visited[..., None], h, 0.0)
+        n_nodes = jnp.sum(new_visited.astype(jnp.int32))
+        n_edges = jnp.sum(keep.astype(jnp.int32))
+        return (h, new_visited), n_nodes, n_edges

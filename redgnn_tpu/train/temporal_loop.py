@@ -176,7 +176,7 @@ class TemporalTrainer:
         self.caps: Dict[str, FrontierCaps] = {}
         self.ckpt_dir: Optional[str] = None  # set by fit() for mid-epoch saves
         self._kgarrs = (kg.graph, kg.etime, kg.ekey, kg.selfloop_slot,
-                        kg.time_rowptr)
+                        kg.time_rowptr, kg.dense)
         self.t_train = 0.0
         self._np_rng = np.random.default_rng(cfg.seed)
         self.history: List[Dict[str, Any]] = []
@@ -244,12 +244,12 @@ class TemporalTrainer:
         # self inside traced code — closure capture would embed them as
         # compile-time constants in the HLO, which the remote-compile
         # tunnel cannot digest (observed as a wedged first transfer).
-        graph, etime, ekey, selfloop_slot, time_rowptr = kgarrs
+        graph, etime, ekey, selfloop_slot, time_rowptr, dense = kgarrs
         kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
         return (model or self.model).apply(
             {"params": params}, graph, etime,
             subs, rels, times, qmask, caps, exclude, train,
-            ekey, selfloop_slot, time_rowptr, **kwargs,
+            ekey, selfloop_slot, time_rowptr, dense, **kwargs,
         )
 
     def _cap_b(self, b: int) -> int:

@@ -389,3 +389,52 @@ def test_adam_coupled_weight_decay(tmp_path, rng):
     # coupled decay routes wd*p through the Adam moments: update != 0
     assert float(jnp.abs(new["w"] - 1.0).max()) > 1e-4
     assert float(new["w"][0]) < 1.0
+
+
+@pytest.mark.parametrize("agg", ["sorted_scatter", "cumsum"])
+def test_dense_hops_match_sparse(tmp_path, rng, agg):
+    """Dense-mode propagation (batch-shared tail-sorted table) computes
+    the same scores as the sparse frontier path, with and without
+    leave-one-out exclusion."""
+    import dataclasses
+    from redgnn_tpu.graph.calibrate import calibrate_caps
+
+    kg = _make_kg(tmp_path, rng)
+    b = 8
+    base = TemporalModelConfig(
+        n_ent=kg.n_ent, n_rel_vocab=kg.n_rel + 1, idd_rel=kg.idd_rel,
+        hidden_dim=12, attn_dim=8, n_layer=3, dropout=0.0,
+        act="leakyrelu", mode="interpolation",
+        time_key_base=kg.time_key_base)
+    sparse_m = TRedGNN(dataclasses.replace(base, dense_hops=False))
+    dense_m = TRedGNN(dataclasses.replace(base, dense_hops=True,
+                                          dense_switch=0.0, dense_agg=agg))
+    data = kg.splits["train"][:b]
+    caps = calibrate_caps(kg.graph_np[0], kg.graph_np[2], kg.n_ent,
+                          data[:, 0], b, base.n_layer)
+    subs = jnp.asarray(data[:, 0], jnp.int32)
+    rels = jnp.asarray(data[:, 1], jnp.int32)
+    times = jnp.asarray(data[:, 3], jnp.int32)
+    qmask = jnp.asarray([True] * (b - 2) + [False] * 2)
+    excl = jnp.asarray(kg.exclusion_slots(np.arange(b)), jnp.int32)
+
+    params = sparse_m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        kg.graph, kg.etime, subs, rels, times, qmask, caps,
+        None, False, kg.ekey, kg.selfloop_slot)["params"]
+
+    for exclude in (None, excl):
+        s_scores, s_aux = sparse_m.apply(
+            {"params": params}, kg.graph, kg.etime, subs, rels, times,
+            qmask, caps, exclude, False, kg.ekey, kg.selfloop_slot,
+            None, kg.dense)
+        d_scores, d_aux = dense_m.apply(
+            {"params": params}, kg.graph, kg.etime, subs, rels, times,
+            qmask, caps, exclude, False, kg.ekey, kg.selfloop_slot,
+            None, kg.dense)
+        np.testing.assert_allclose(np.asarray(d_scores),
+                                   np.asarray(s_scores),
+                                   rtol=2e-4, atol=2e-5)
+        # same reached-node count per hop
+        np.testing.assert_array_equal(np.asarray(d_aux["num_nodes"]),
+                                      np.asarray(s_aux["num_nodes"]))
