@@ -75,11 +75,30 @@ def main(argv=None):
                    help="resume from <ckpt_dir>/latest.msgpack if present "
                         "(elastic recovery after a TPU worker crash)")
     p.add_argument("--eval_only", action="store_true")
+    p.add_argument("--eval_splits", default=None,
+                   help="comma-separated extra eval splits evaluated on "
+                        "the best checkpoint after training (seen/unseen "
+                        "entity protocol of `extrapolation/main.py:121`, "
+                        "e.g. valid_seen,valid_unseen,test_seen,"
+                        "test_unseen)")
     p.add_argument("--sqlite", default=None,
                    help="path to a sqlite experiment db")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--set", nargs="*", metavar="FIELD=VALUE",
                    help="override any config field")
+    p.add_argument("--timer", action="store_true",
+                   help="per-epoch phase wall-clock buckets (the "
+                        "reference's --timer time_cost accounting, "
+                        "`extrapolation/main.py:39-52`)")
+    p.add_argument("--hpo", type=int, default=None, metavar="N",
+                   help="run an N-trial ASHA hyperparameter search over "
+                        "the task's reference space instead of a single "
+                        "fit (`ray_hpo.py:280-287`, "
+                        "`hyperopt_train.py:167-175`)")
+    p.add_argument("--attention_stats", default=None, metavar="PATH.npz",
+                   help="after training, dump (query-rel x edge-rel) "
+                        "attention sum/count statistics "
+                        "(`model_cuda_new_embdding.py:117-125`)")
     p.add_argument("--mesh", default=None, metavar="D[xE]",
                    help="shard the run over a device mesh: D data-parallel"
                         " shards (query-parallel), optionally x E "
@@ -148,7 +167,8 @@ def main(argv=None):
             from redgnn_tpu.graph.inductive import InductiveKG
 
             kg = InductiveKG.load(args.data_path)
-        trainer = StaticTrainer(kg, cfg, mesh=mesh)
+        build_trainer = lambda c: StaticTrainer(kg, c, mesh=mesh)
+        trainer = build_trainer(cfg)
     else:
         from redgnn_tpu.graph.temporal import TemporalKG
         from redgnn_tpu.train.temporal_loop import TemporalTrainer
@@ -200,11 +220,52 @@ def main(argv=None):
 
             trainer = SimplETrainer(kg, seed=cfg.seed, epochs=cfg.epochs)
         else:
-            trainer = TemporalTrainer(kg, cfg, mesh=mesh)
+            build_trainer = lambda c: TemporalTrainer(kg, c, mesh=mesh)
+            trainer = build_trainer(cfg)
 
     logger = ExperimentLogger(args.results_dir, dataset, cfg,
                               sqlite_path=args.sqlite)
     print(json.dumps(dataclasses.asdict(cfg)))
+
+    if args.timer:
+        if not hasattr(trainer, "timer"):
+            raise SystemExit("--timer supports the redgnn trainers only")
+        trainer.timer.enabled = True
+
+    if args.hpo:
+        if args.model != "redgnn":
+            raise SystemExit("--hpo supports the redgnn model only")
+        from redgnn_tpu.utils.hpo import (
+            INTERPOLATION_SPACE, STATIC_SPACE, asha_search)
+
+        space = (STATIC_SPACE if args.task in ("transductive", "inductive")
+                 else INTERPOLATION_SPACE)
+
+        def run_trial(params_d, epochs, state):
+            if state is None:
+                tcfg = dataclasses.replace(cfg, **params_d)
+                tr, done = build_trainer(tcfg), 0
+            else:
+                tr, done = state
+            metric = -1.0
+            for e in range(done, done + epochs):
+                tr.train_epoch(e)
+                metric = tr.evaluate("valid")["mrr"]
+            return float(metric), (tr, done + epochs)
+
+        best = asha_search(
+            space, run_trial, num_trials=args.hpo,
+            max_epochs=args.epochs or 8,
+            seed=cfg.seed,
+            log_path=os.path.join(args.results_dir,
+                                  f"{dataset}_hpo.jsonl"))
+        line = "HPO_BEST " + json.dumps(
+            {"params": best.params, "valid_mrr": best.metric,
+             "epochs": best.epochs_done}, default=float)
+        logger.write_perf(line)
+        print(line)
+        logger.close()
+        return
 
     start_epoch = 0
     if args.load_checkpoint:
@@ -228,10 +289,40 @@ def main(argv=None):
                     os.path.join(args.ckpt_dir, "latest.msgpack"))
             print(f"resuming from latest checkpoint at epoch {start_epoch}")
 
+    def dump_attention_stats():
+        if not args.attention_stats:
+            return
+        if not hasattr(trainer, "collect_attention"):
+            print("--attention_stats supports temporal redgnn only")
+            return
+        import numpy as np
+
+        acc = trainer.collect_attention("valid")
+        np.savez(args.attention_stats, stats=acc)
+        print(f"attention stats (sum/count by query-rel x edge-rel) -> "
+              f"{args.attention_stats}")
+
+    def eval_extra_splits():
+        if not args.eval_splits:
+            return
+        out = {}
+        for split in args.eval_splits.split(","):
+            split = split.strip()
+            if hasattr(trainer.kg, "splits") and \
+                    split not in trainer.kg.splits:
+                print(f"eval split '{split}' not available; skipping")
+                continue
+            out[split] = trainer.evaluate(split)
+        line = "EVAL_SPLITS " + json.dumps(out, default=float)
+        logger.write_perf(line)
+        print(line)
+
     if args.eval_only:
         vm = trainer.evaluate("valid")
         tm = trainer.evaluate("test")
-        print(json.dumps({"valid": vm, "test": tm}))
+        print(json.dumps({"valid": vm, "test": tm}, default=float))
+        eval_extra_splits()
+        dump_attention_stats()
         return
 
     from redgnn_tpu.utils.linetrace import maybe_trace_from_env
@@ -242,6 +333,17 @@ def main(argv=None):
     print(write_memory_report(logger.mem_path, "run", mon.peak_rss_bytes))
     logger.write_perf("BEST " + json.dumps(best))
     print("BEST", json.dumps(best, default=float))
+    if args.eval_splits:
+        # seen/unseen protocol runs on the best-valid checkpoint
+        if args.ckpt_dir:
+            from redgnn_tpu.utils.checkpoint import best_checkpoint
+
+            bp = best_checkpoint(args.ckpt_dir)
+            if bp:
+                trainer.restore(bp)
+                print(f"eval_splits: restored best checkpoint {bp}")
+        eval_extra_splits()
+    dump_attention_stats()
     logger.close()
 
 

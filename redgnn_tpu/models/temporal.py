@@ -119,6 +119,9 @@ class TemporalModelConfig:
     # ablations (`Temporal/interpolation/model_cuda_aba.py:14,189,353`)
     use_time: bool = True               # False => T_RED_GNN_wo_tau
     use_attention: bool = True          # False => T_RED_GNN_wo_Attn
+    collect_alpha: bool = False  # expose per-edge attention in aux (the
+    # attention_vis instrumentation, `model_cuda_new_embdding.py:117-125`);
+    # debug-only: disables remat for the hop and ships E-wide arrays
     direction_transform: str = "linear"  # "bias" => T_RED_GNN_W
     time_embedding: str = "periodic"     # "absolute" => nn.Embedding-style
     n_time: Optional[int] = None         # rows for absolute time table
@@ -371,6 +374,7 @@ class TRedGNN(nn.Module):
                         jax.nn.relu(pre @ a1_k) @ a2_k)
                     message = transformed * alpha
                 else:
+                    alpha = jnp.ones((hs.shape[0], 1))
                     message = transformed
                 message = jnp.where(edge_valid[:, None], message, 0.0)
 
@@ -381,7 +385,10 @@ class TRedGNN(nn.Module):
                     keep = jax.random.bernoulli(
                         drop_rng, 1.0 - cfg.dropout, agg.shape)
                     agg = jnp.where(keep, agg / (1.0 - cfg.dropout), 0.0)
-                return TEMPORAL_ACTS[cfg.act](agg)
+                out = TEMPORAL_ACTS[cfg.act](agg)
+                if cfg.collect_alpha:
+                    return out, alpha[:, 0]
+                return out
 
             if cfg.remat:
                 hop_fn = jax.checkpoint(hop_fn)
@@ -394,6 +401,12 @@ class TRedGNN(nn.Module):
             hidden = hop_fn(hidden, rela, a1_k, a2_k, fr.src, fr.dst,
                             fr.rel, fr.batch, fr.edge_id, edge_valid,
                             fr.time, fr.src_values)
+            if cfg.collect_alpha:
+                hidden, alpha_i = hidden
+                aux.setdefault("alpha", []).append(alpha_i)
+                aux.setdefault("alpha_rel", []).append(fr.rel)
+                aux.setdefault("alpha_qrel", []).append(rels[fr.batch])
+                aux.setdefault("alpha_valid", []).append(edge_valid)
             node_keys = fr.node_keys
 
             aux["edge_overflow"].append(fr.edge_overflow)

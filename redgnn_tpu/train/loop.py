@@ -137,6 +137,10 @@ class StaticTrainer:
         self.t_train = 0.0
         self._np_rng = np.random.default_rng(cfg.seed)
         self.history: List[Dict[str, Any]] = []
+        from redgnn_tpu.utils.timers import PhaseTimer
+
+        # --timer phase buckets (`extrapolation/main.py:39-52`)
+        self.timer = PhaseTimer(enabled=False)
 
         # NOTE: no buffer donation — the overflow-replay path restores the
         # epoch-start params, which donation would have invalidated.
@@ -312,6 +316,8 @@ class StaticTrainer:
             # on-device in a single execution, which the TPU worker (and
             # the axon tunnel watchdog in particular) does not survive
             c = cfg.scan_chunk
+            device_phase = self.timer.phase("train", "device")
+            device_phase.__enter__()
             for start in range(0, nb, c):
                 sl = slice(start, min(start + c, nb))
                 self.rng, epoch_rng = jax.random.split(self.rng)
@@ -330,6 +336,7 @@ class StaticTrainer:
                     overflow_seen = True
                     break
                 total_loss += float(loss_sum)
+            device_phase.__exit__(None, None, None)
             if not overflow_seen:
                 break
             # replay epoch from snapshot with exact capacities
@@ -481,6 +488,9 @@ class StaticTrainer:
                     f"H@10:{vm['h10']:.4f} [TEST] MRR:{tm['mrr']:.4f} "
                     f"H@1:{tm['h1']:.4f} H@10:{tm['h10']:.4f}"
                 )
+            if self.timer.enabled:
+                log(f"  timer: {self.timer}")
+                self.timer.reset()
             self.history.append(row)
             if ckpt_dir:
                 # BEFORE the resplit: fit() replays one resplit on resume,

@@ -43,6 +43,7 @@ from redgnn_tpu.ops.ranking import (
     raw_rank_metric_sums,
 )
 from redgnn_tpu.utils.config import TemporalTrainConfig
+from redgnn_tpu.utils.timers import PhaseTimer
 
 
 def nll_softmax_loss(scores, targets, qmask):
@@ -180,6 +181,8 @@ class TemporalTrainer:
         self.t_train = 0.0
         self._np_rng = np.random.default_rng(cfg.seed)
         self.history: List[Dict[str, Any]] = []
+        # --timer phase buckets (`extrapolation/main.py:39-52`)
+        self.timer = PhaseTimer(enabled=False)
 
         if cfg.mode == "extrapolation":
             self._eval_scan_ex = jax.jit(self._eval_scan_ex_impl,
@@ -491,6 +494,8 @@ class TemporalTrainer:
     def train_epoch(self, epoch: int) -> float:
         cfg, kg = self.cfg, self.kg
         t0 = time.time()
+        stage_phase = self.timer.phase("train", "stage")
+        stage_phase.__enter__()
         train = kg.splits["train"]
         order = self._np_rng.permutation(len(train))
         if cfg.max_train_batches is not None:
@@ -517,11 +522,14 @@ class TemporalTrainer:
         cols = [padded[:, j].reshape(nb, b) for j in range(4)]
         qm = qmask.reshape(nb, b)
 
+        stage_phase.__exit__(None, None, None)
         snap = (self.params, self.opt_state, self.rng)
         for attempt in range(3):
             total = 0.0
             overflow_seen = False
             # bounded-duration dispatches (axon watchdog; see loop.py)
+            device_phase = self.timer.phase("train", "device")
+            device_phase.__enter__()
             for start in range(0, nb, cfg.scan_chunk):
                 sl = slice(start, min(start + cfg.scan_chunk, nb))
                 xs = tuple(jnp.asarray(c[sl], jnp.int32) for c in cols[:3]) \
@@ -553,6 +561,7 @@ class TemporalTrainer:
                     print(f"  epoch {epoch}: {done}/{nb} steps, "
                           f"loss_sum {total:.2f}, {rate:.1f} q/s",
                           flush=True)
+            device_phase.__exit__(None, None, None)
             if not overflow_seen:
                 break
             print(f"  epoch {epoch}: frontier caps overflowed, "
@@ -574,15 +583,17 @@ class TemporalTrainer:
         b = cfg.eval_batch_size
         caps = self._get_caps(f"eval_{split}", data, self._cap_b(b))
         if cfg.mode == "extrapolation":
-            nb = -(-len(data) // b)
-            pad = nb * b - len(data)
-            padded = np.concatenate([data, np.zeros((pad, 4), np.int64)])
-            qmask = np.ones(nb * b, bool)
-            if pad:
-                qmask[-pad:] = False
-            cols = [padded[:, j].reshape(nb, b) for j in range(4)]
-            qm = qmask.reshape(nb, b)
-            fil3, filt3 = self._staged_filters(split, data, b)
+            with self.timer.phase("eval", "stage"):
+                nb = -(-len(data) // b)
+                pad = nb * b - len(data)
+                padded = np.concatenate([data,
+                                         np.zeros((pad, 4), np.int64)])
+                qmask = np.ones(nb * b, bool)
+                if pad:
+                    qmask[-pad:] = False
+                cols = [padded[:, j].reshape(nb, b) for j in range(4)]
+                qm = qmask.reshape(nb, b)
+                fil3, filt3 = self._staged_filters(split, data, b)
             for attempt in range(3):
                 partials, overflow_seen = [], False
                 for start in range(0, nb, cfg.scan_chunk):
@@ -675,6 +686,49 @@ class TemporalTrainer:
             self._sp2o = {k: np.array(sorted(v)) for k, v in sp2o.items()}
             self._spt2o = {k: np.array(sorted(v)) for k, v in spt2o.items()}
         return self._sp2o, self._spt2o
+
+    # ------------------------------------------------------------------
+    def collect_attention(self, split: str = "valid",
+                          max_batches: int = 8) -> np.ndarray:
+        """(n_rel, n_rel, 2) [attention sum, count] keyed by (query rel,
+        edge rel) — the reference's attention_vis bookkeeping
+        (`model_cuda_new_embdding.py:117-125,169-172`), produced by a few
+        forward passes with the debug `collect_alpha` model."""
+        import dataclasses as _dc
+
+        from redgnn_tpu.utils.viz import collect_attention_stats
+
+        model = TRedGNN(_dc.replace(self.model_cfg, collect_alpha=True,
+                                    dense_hops=False))
+        data = self.kg.splits[split]
+        b = self.cfg.eval_batch_size
+        data = data[: max_batches * b]
+        caps = self._get_caps(f"eval_{split}", self.kg.splits[split],
+                              self._cap_b(b))
+        n_rel = self.model_cfg.n_rel_vocab
+        acc = np.zeros((n_rel, n_rel, 2))
+        apply = jax.jit(
+            lambda p, kgarrs, s, r, t, q: self._apply(
+                p, kgarrs, s, r, t, q, caps, None, False, model=model),
+            static_argnames=())
+        for start in range(0, len(data), b):
+            batch = data[start:start + b]
+            pad = b - len(batch)
+            qmask = np.concatenate([np.ones(len(batch), bool),
+                                    np.zeros(pad, bool)])
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad, 4), np.int64)])
+            _, aux = apply(self.params, self._kgarrs,
+                           jnp.asarray(batch[:, 0], jnp.int32),
+                           jnp.asarray(batch[:, 1], jnp.int32),
+                           jnp.asarray(batch[:, 3], jnp.int32),
+                           jnp.asarray(qmask))
+            for a, er, qr, va in zip(*(jax.device_get(aux[k]) for k in
+                                       ("alpha", "alpha_rel", "alpha_qrel",
+                                        "alpha_valid"))):
+                acc += collect_attention_stats(a, er, qr, va, n_rel)
+        return acc
 
     # ------------------------------------------------------------------
     def plateau_step(self, valid_loss: float) -> None:
@@ -786,4 +840,7 @@ class TemporalTrainer:
                             host=self.host_state())
             log(f"epoch {epoch} loss {loss:.3f} valid MRR {vm['mrr']:.4f} "
                 f"H@1 {vm['h1']:.4f} H@10 {vm['h10']:.4f} lr {self._lr:.2e}")
+            if self.timer.enabled:
+                log(f"  timer: {self.timer}")
+                self.timer.reset()
         return best
