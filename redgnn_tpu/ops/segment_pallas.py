@@ -29,36 +29,42 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Edge rows per DMA chunk and nodes per output block.
-CHUNK = 256
-BN = 128
+# Default edge rows per DMA chunk and nodes per output block. Round-1
+# shipped 256x128, which is grid-overhead-bound (~1.6us/iteration across
+# thousands of tiny blocks); the round-2 sweep picks larger tiles.
+CHUNK = 1024
+BN = 512
 
 
-def _kernel(chunk0_ref, nchunks_ref, seg_ref, data_ref, out_ref, acc_ref):
-    j = pl.program_id(0)
-    k = pl.program_id(1)
-    kmax = pl.num_programs(1)
+def _make_kernel(chunk, bn):
+    def _kernel(chunk0_ref, nchunks_ref, seg_ref, data_ref, out_ref,
+                acc_ref):
+        j = pl.program_id(0)
+        k = pl.program_id(1)
+        kmax = pl.num_programs(1)
 
-    @pl.when(k == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        @pl.when(k == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(k < nchunks_ref[j])
-    def _():
-        seg = seg_ref[...]          # (CHUNK, 1) int32
-        data = data_ref[...]        # (CHUNK, D)
-        local = seg - j * BN        # local node ids within this block
-        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BN), 1)
-        onehot = (local == col).astype(jnp.float32)  # (CHUNK, BN)
-        acc_ref[...] += jax.lax.dot_general(
-            onehot, data,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        @pl.when(k < nchunks_ref[j])
+        def _():
+            seg = seg_ref[...]          # (chunk, 1) int32
+            data = data_ref[...]        # (chunk, D)
+            local = seg - j * bn        # local node ids within this block
+            col = jax.lax.broadcasted_iota(jnp.int32, (chunk, bn), 1)
+            onehot = (local == col).astype(jnp.float32)  # (chunk, bn)
+            acc_ref[...] += jax.lax.dot_general(
+                onehot, data,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-    @pl.when(k == kmax - 1)
-    def _():
-        out_ref[...] = acc_ref[...]
+        @pl.when(k == kmax - 1)
+        def _():
+            out_ref[...] = acc_ref[...]
+
+    return _kernel
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -82,14 +88,18 @@ def segment_sum_pallas(data: jnp.ndarray, segment_ids: jnp.ndarray,
     return out
 
 
-def default_kmax(edge_cap: int, num_segments: int, skew: float = 4.0) -> int:
+def default_kmax(edge_cap: int, num_segments: int, skew: float = 4.0,
+                 chunk: int = CHUNK, bn: int = BN) -> int:
     """Static chunk budget per node block for balanced-ish segments."""
-    nb = max(1, -(-num_segments // BN))
-    mean_chunks = -(-edge_cap // (nb * CHUNK))
-    return min(-(-edge_cap // CHUNK), int(mean_chunks * skew) + 2)
+    nb = max(1, -(-num_segments // bn))
+    mean_chunks = -(-edge_cap // (nb * chunk))
+    return min(-(-edge_cap // chunk), int(mean_chunks * skew) + 2)
 
 
-def _segment_sum_fwd_impl(data, segment_ids, num_segments, kmax=None):
+def _segment_sum_fwd_impl(data, segment_ids, num_segments, kmax=None,
+                          chunk: int = None, bn: int = None):
+    CHUNK = chunk or globals()["CHUNK"]
+    BN = bn or globals()["BN"]
     e, d = data.shape
     n = num_segments
     n_pad = pl.cdiv(n, BN) * BN
@@ -133,7 +143,7 @@ def _segment_sum_fwd_impl(data, segment_ids, num_segments, kmax=None):
     )
 
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(CHUNK, BN),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         interpret=jax.default_backend() == "cpu",
@@ -142,11 +152,13 @@ def _segment_sum_fwd_impl(data, segment_ids, num_segments, kmax=None):
 
 
 def segment_sum_pallas_checked(data, segment_ids, num_segments,
-                               kmax: int | None = None):
+                               kmax: int | None = None,
+                               chunk: int = None, bn: int = None):
     """(out, overflow) — overflow means some block exceeded ``kmax`` and
     its tail chunks were dropped; the caller must grow kmax + recompile
     (the trainers' standard replay path)."""
-    return _segment_sum_fwd_impl(data, segment_ids, num_segments, kmax)
+    return _segment_sum_fwd_impl(data, segment_ids, num_segments, kmax,
+                                 chunk, bn)
 
 
 def _fwd(data, segment_ids, num_segments, kmax):
