@@ -114,7 +114,7 @@ class TemporalModelConfig:
     # (measured: the sparse path costs ~75-80ns per padded edge slot on
     # v5e, ~10 latency-bound E-wide ops; dense needs 2).
     dense_hops: bool = True
-    dense_switch: float = 0.5   # dense when edge_cap > switch * b * E
+    dense_switch: float = 0.25  # dense when edge_cap > switch * b * E
     dense_agg: str = "sorted_scatter"  # or "cumsum" (range-diff of prefix)
     # ablations (`Temporal/interpolation/model_cuda_aba.py:14,189,353`)
     use_time: bool = True               # False => T_RED_GNN_wo_tau
@@ -254,7 +254,8 @@ class TRedGNN(nn.Module):
                 dense_state, n_nodes, n_edges = self._dense_hop(
                     dense_state, rela, a1_k, a2_k, rels, times,
                     tsrc, trel, ttime, ttail, tail_rowptr, excl_keep,
-                    time_embed if cfg.time_embedding == "periodic" else None,
+                    ((t_freq, t_w, t_b)
+                     if cfg.time_embedding == "periodic" else None),
                     None if cfg.time_embedding == "periodic" else abs_table,
                     past, now, future, drop_rng, edrop_rng)
                 aux["edge_overflow"].append(jnp.zeros((), bool))
@@ -498,8 +499,25 @@ class TRedGNN(nn.Module):
         msg = hs + hr[:, None, :]
         if cfg.use_time:
             if time_embed is not None:
-                msg = msg + time_embed(delta.reshape(-1)).reshape(
-                    e_all, b, d)
+                # Trig factorization: z = 2πf(t_e − t_q) = z_e − z_q, so
+                #   cosΔ = cos_e·cos_q + sin_e·sin_q
+                #   sinΔ = sin_e·cos_q − cos_e·sin_q
+                # and relu-pre = cosΔ@W_c + sinΔ@W_s collapses to two
+                # (E,K)x(b,K,d) einsums with tiny per-query factors — the
+                # (E·b, 2K) feature tensor of the naive form (≈0.5 GB at
+                # ICEWS14 scale) never materializes.
+                k = cfg.n_frequencies
+                freq, t_w, t_b = time_embed  # raw params in dense mode
+                z_e = 2.0 * jnp.pi * t_e[:, None] * freq[None, :]
+                z_q = 2.0 * jnp.pi * t_q[:, None] * freq[None, :]
+                ce, se = jnp.cos(z_e), jnp.sin(z_e)      # (E, K)
+                cq, sq = jnp.cos(z_q), jnp.sin(z_q)      # (b, K)
+                w_c, w_s = t_w[:k], t_w[k:]              # (K, d) each
+                p = cq[:, :, None] * w_c[None] - sq[:, :, None] * w_s[None]
+                q = sq[:, :, None] * w_c[None] + cq[:, :, None] * w_s[None]
+                h_pre = (jnp.einsum("ek,bkd->ebd", ce, p)
+                         + jnp.einsum("ek,bkd->ebd", se, q))
+                msg = msg + jax.nn.relu(h_pre + t_b)
             else:
                 t_idx = jnp.clip(ttime, 0, (cfg.n_time or 1) - 1)
                 msg = msg + abs_table[t_idx][:, None, :]
@@ -507,10 +525,12 @@ class TRedGNN(nn.Module):
             (delta > 0)[..., None], future(msg),
             jnp.where((delta < 0)[..., None], past(msg), now(msg)))
         if cfg.use_attention:
-            pre = jnp.concatenate(
-                [hs, jnp.broadcast_to(hr[:, None, :], (e_all, b, d)),
-                 jnp.broadcast_to(h_qr[None, :, :], (e_all, b, d))], -1)
-            alpha = jax.nn.sigmoid(jax.nn.relu(pre @ a1_k) @ a2_k)
+            # split [hs ‖ hr ‖ h_qr] @ A1: the hr/h_qr terms amortize over
+            # batch/edges; the (E,b,3d) concat never materializes
+            pre = (hs @ a1_k[:d]
+                   + (hr @ a1_k[d:2 * d])[:, None, :]
+                   + (h_qr @ a1_k[2 * d:])[None, :, :])
+            alpha = jax.nn.sigmoid(jax.nn.relu(pre) @ a2_k)
             message = transformed * alpha
         else:
             message = transformed

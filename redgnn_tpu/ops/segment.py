@@ -10,8 +10,10 @@ and because the frontier expansion in :mod:`redgnn_tpu.ops.frontier` emits
 edges *sorted by destination segment*, we can pass
 ``indices_are_sorted=True`` which lets XLA use the cheaper in-order update
 path. A Pallas sorted-segment kernel (one-hot matmul accumulation on the
-MXU) lives in :mod:`redgnn_tpu.ops.segment_pallas` and is selected with
-``impl='pallas'`` for large edge counts.
+MXU) lives in :mod:`redgnn_tpu.ops.segment_pallas`; ``impl='pallas'``
+keeps it selectable for experiments, but it is NOT a production default:
+a full tile sweep on the v5e (round 2, docs/PERF.md) peaked at 0.68x the
+XLA sorted scatter at frontier shapes and 1.07x at dense-hop shapes.
 """
 
 from __future__ import annotations

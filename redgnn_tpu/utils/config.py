@@ -153,11 +153,14 @@ _TEMPORAL = {
     ),
     # icews14_aug protocol on the committed id-based ICEWS14 split
     # (the reference's data/preprocess.sh-fetched icews14_aug train file
-    # is not committed; ICEWS14_TeMP is the same 72826-quad split)
+    # is not committed; ICEWS14_TeMP is the same 72826-quad split).
+    # bs32 matches the reference recipe directly (`main.py:40-52`) —
+    # affordable since round-2's dense-mode hops (125 q/s train / 318 q/s
+    # eval on the v5e vs round-1's 20.7 q/s at bs8 x accum4).
     "ICEWS14_TeMP": TemporalTrainConfig(
-        batch_size=8, grad_accum_steps=4, lr=1e-2, patience=3, epochs=20,
+        batch_size=32, grad_accum_steps=1, lr=1e-2, patience=3, epochs=20,
         weight_decay=1e-2, hidden_dim=20, attn_dim=30, n_layer=4,
-        dropout=0.1, act="leakyrelu", eval_batch_size=16,
+        dropout=0.1, act="leakyrelu", eval_batch_size=32, scan_chunk=32,
     ),
     # `Temporal/extrapolation/main.py:111-155,202-209`
     # The reference's reproduction command trains with batch_size **2**
