@@ -214,7 +214,10 @@ def main(argv=None):
                     kwargs[field] = getattr(cfg, field)
             trainer = XErteTrainer(kg, xcfg, seed=cfg.seed,
                                    grad_accum_steps=cfg.grad_accum_steps,
-                                   epochs=cfg.epochs, **kwargs)
+                                   epochs=cfg.epochs,
+                                   max_train_batches=cfg.max_train_batches,
+                                   max_eval_batches=cfg.max_eval_batches,
+                                   **kwargs)
         elif args.model == "simple":
             from redgnn_tpu.train.simple_loop import SimplETrainer
 

@@ -330,3 +330,27 @@ class TemporalKG:
     def exclusion_slots(self, example_rows: np.ndarray) -> np.ndarray:
         """CSR slots of the given original graph rows (leave-one-out)."""
         return self.row_to_slot[example_rows]
+
+    def negative_sampling_objects(self, q: int, split: str = "train",
+                                  start_time: int = 0,
+                                  rng: Optional[np.random.Generator] = None
+                                  ) -> np.ndarray:
+        """Q corrupted objects per quadruple with time >= start_time,
+        rejecting true (s, p, t) answers (`extrapolation/utils.py:123-159`;
+        vectorized rejection instead of the per-event while loop)."""
+        rng = rng or np.random.default_rng(0)
+        data = self.splits[split]
+        data = data[data[:, 3] >= start_time]
+        spt_o: Dict[tuple, set] = {}
+        for s, p, o, t in data:
+            spt_o.setdefault((s, p, t), set()).add(o)
+        out = np.empty((len(data), q), dtype=np.int64)
+        for i, (s, p, o, t) in enumerate(data):
+            true = spt_o[(s, p, t)]
+            # vectorized rejection: draw 2q+8, keep the first q survivors
+            row = []
+            while len(row) < q:
+                cand = rng.integers(0, self.n_ent, 2 * q + 8)
+                row.extend(int(c) for c in cand if c not in true)
+            out[i] = row[:q]
+        return out

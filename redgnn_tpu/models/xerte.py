@@ -69,6 +69,11 @@ class XErteConfig:
     # semantics (oldest-K truncation otherwise).
     sampling: str = "weighted"
     weight_factor: float = 2.0
+    # "cut": neighbors before the NODE's timestamp (get_temporal_neighbor,
+    # `utils.py:402-499`); "query": before the QUERY's timestamp — the
+    # extended/bidirectional variant get_temporal_neighbor_v2
+    # (`utils.py:344-400`)
+    time_bound: str = "cut"
     use_time_embedding: bool = True
     # visited-set capacity multiplier. The per-step budget assumes the
     # PRUNED frontier (max_attended_edges new nodes/query/step), but keys
@@ -222,9 +227,11 @@ class XErte(nn.Module):
             eg_i = jnp.where(att_valid, att_keys // nkb, b)
 
             base = ent_i * time_key_base
+            bound = ts_i if cfg.time_bound == "cut" else \
+                jnp.where(att_valid, times[jnp.minimum(eg_i, b - 1)], 0)
             lo = jnp.searchsorted(ekey, base).astype(jnp.int32)
-            hi = jnp.searchsorted(ekey, base + ts_i).astype(jnp.int32)
-            span = hi - lo  # candidate historical edges (t' < t_i)
+            hi = jnp.searchsorted(ekey, base + bound).astype(jnp.int32)
+            span = hi - lo  # candidate historical edges (t' < bound)
 
             u = jax.random.uniform(
                 jax.random.fold_in(

@@ -34,11 +34,14 @@ class XErteTrainer:
     def __init__(self, kg: TemporalKG, cfg: XErteConfig,
                  lr: float = 1e-3, batch_size: int = 128,
                  grad_accum_steps: int = 1, seed: int = 1,
-                 epochs: int = 20):
+                 epochs: int = 20, max_train_batches=None,
+                 max_eval_batches=None):
         self.kg = kg
         self.cfg = cfg
         self.batch_size = batch_size
         self.epochs = epochs
+        self.max_train_batches = max_train_batches
+        self.max_eval_batches = max_eval_batches
         self._fil_cache: Dict[tuple, tuple] = {}
         self.model = XErte(cfg)
 
@@ -127,6 +130,8 @@ class XErteTrainer:
     def train_epoch(self, epoch: int) -> float:
         data = self.kg.splits["train"]
         data = data[self._np_rng.permutation(len(data))]
+        if self.max_train_batches is not None:
+            data = data[: self.max_train_batches * self.batch_size]
         for _attempt in range(6):
             snap = (self.params, self.opt_state, self._step_counter)
             losses, overflows = [], []
@@ -180,6 +185,8 @@ class XErteTrainer:
         kg = self.kg
         data = kg.splits[split]
         b = self.batch_size
+        if self.max_eval_batches is not None:
+            data = data[: self.max_eval_batches * b]
         fil3, filt3 = self._staged_filters(split, data, b)
         for _attempt in range(6):
             partials, overflows = [], []

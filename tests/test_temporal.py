@@ -438,3 +438,59 @@ def test_dense_hops_match_sparse(tmp_path, rng, agg):
         # same reached-node count per hop
         np.testing.assert_array_equal(np.asarray(d_aux["num_nodes"]),
                                       np.asarray(s_aux["num_nodes"]))
+
+
+@pytest.mark.parametrize("accum", [1, 2])
+def test_plateau_actually_lowers_device_lr(tmp_path, rng, accum):
+    """plateau_step must rewrite the lr INSIDE the (possibly MultiSteps-
+    wrapped) inject_hyperparams state, and subsequent updates must shrink
+    accordingly (pins the optax-internals poke, VERDICT weak #5)."""
+    import optax
+
+    kg = _make_kg(tmp_path, rng)
+    cfg = TemporalTrainConfig(hidden_dim=8, attn_dim=4, n_layer=1,
+                              batch_size=4, lr=1e-2, patience=0,
+                              plateau_factor=0.1, grad_accum_steps=accum,
+                              weight_decay=0.0)
+    tr = TemporalTrainer(kg, cfg)
+
+    params = {"w": jnp.ones((3,))}
+    opt_state = tr.tx.init(params)
+    tr.opt_state = opt_state
+    grads = {"w": jnp.full((3,), 0.5)}
+
+    def effective_step(opt_state):
+        st = opt_state
+        p = params
+        for _ in range(accum):   # complete one full accumulation cycle
+            updates, st = tr.tx.update(grads, st, p)
+            p = optax.apply_updates(p, updates)
+        return float(jnp.abs(p["w"] - 1.0).max())
+
+    before = effective_step(tr.opt_state)
+    tr.plateau_step(1.0)   # improvement: sets best
+    tr.plateau_step(2.0)   # bad epoch > patience=0 -> lr *= 0.1
+    assert tr._lr == pytest.approx(1e-3)
+    after = effective_step(tr.opt_state)
+    # Adam's first step is ~lr regardless of grad scale
+    assert before == pytest.approx(1e-2, rel=0.2)
+    assert after == pytest.approx(1e-3, rel=0.2), (before, after)
+
+
+def test_negative_sampling_objects(tmp_path, rng):
+    """Q corrupted objects per event, none a true (s,p,t) answer
+    (`extrapolation/utils.py:123-159`)."""
+    kg = _make_kg(tmp_path, rng)
+    q = 5
+    neg = kg.negative_sampling_objects(q, "train", start_time=2,
+                                       rng=np.random.default_rng(7))
+    data = kg.splits["train"]
+    data = data[data[:, 3] >= 2]
+    assert neg.shape == (len(data), q)
+    from collections import defaultdict
+    spt = defaultdict(set)
+    for s, p, o, t in data:
+        spt[(s, p, t)].add(o)
+    for (s, p, o, t), row in zip(data, neg):
+        assert all(0 <= c < kg.n_ent for c in row)
+        assert not (set(row) & spt[(s, p, t)])
