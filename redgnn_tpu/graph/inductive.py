@@ -99,8 +99,8 @@ class InductiveKG:
         kg = cls(
             n_ent=n_ent, n_ent_ind=n_ent_ind, n_rel=n_rel,
             train_data=tra_valid.copy(),
-            graph=DeviceGraph(*map(jnp.asarray, tra_np)), graph_np=tra_np,
-            ind_graph=DeviceGraph(*map(jnp.asarray, ind_np)),
+            graph=DeviceGraph.from_csr(*tra_np, n_ent), graph_np=tra_np,
+            ind_graph=DeviceGraph.from_csr(*ind_np, n_ent_ind),
             ind_graph_np=ind_np,
             entity2id=e2id, entity2id_ind=e2id_ind, relation2id=r2id,
         )

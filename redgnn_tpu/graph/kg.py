@@ -49,26 +49,60 @@ def build_csr(
     )
 
 
+def build_tail_sorted(rowptr: np.ndarray, rel: np.ndarray,
+                      tail: np.ndarray, n_ent: int):
+    """Tail-sorted view of a CSR for dense-mode hops: (src, rel, tail,
+    tail_rowptr) with STATIC per-tail aggregation ranges (see
+    models/temporal.py dense hops; the static model reuses the design)."""
+    heads = np.repeat(np.arange(n_ent, dtype=np.int32),
+                      np.diff(rowptr))
+    order = np.argsort(tail, kind="stable").astype(np.int32)
+    counts = np.bincount(tail, minlength=n_ent)
+    tail_rowptr = np.zeros(n_ent + 1, dtype=np.int32)
+    np.cumsum(counts, out=tail_rowptr[1:])
+    return heads[order], rel[order], tail[order], tail_rowptr
+
+
 @jax.tree_util.register_pytree_node_class
 class DeviceGraph:
-    """Immutable device-resident CSR fact graph (+ self-loops)."""
+    """Immutable device-resident CSR fact graph (+ self-loops).
 
-    def __init__(self, rowptr, rel, tail):
+    ``tsrc/trel/ttail/tail_rowptr`` (optional) are the tail-sorted view
+    used by dense-mode hops; graphs built without them simply disable
+    dense mode."""
+
+    def __init__(self, rowptr, rel, tail, tsrc=None, trel=None, ttail=None,
+                 tail_rowptr=None):
         self.rowptr = rowptr
         self.rel = rel
         self.tail = tail
+        self.tsrc = tsrc
+        self.trel = trel
+        self.ttail = ttail
+        self.tail_rowptr = tail_rowptr
 
     @property
     def n_edges(self) -> int:
         return self.rel.shape[0]
 
+    @property
+    def has_dense(self) -> bool:
+        return self.tsrc is not None
+
+    @classmethod
+    def from_csr(cls, rowptr, rel, tail, n_ent: int) -> "DeviceGraph":
+        dense = build_tail_sorted(rowptr, rel, tail, n_ent)
+        return cls(jnp.asarray(rowptr), jnp.asarray(rel), jnp.asarray(tail),
+                   *(jnp.asarray(a) for a in dense))
+
     @classmethod
     def from_triples(cls, triples: np.ndarray, n_ent: int) -> "DeviceGraph":
         rowptr, rel, tail = build_csr(triples, n_ent)
-        return cls(jnp.asarray(rowptr), jnp.asarray(rel), jnp.asarray(tail))
+        return cls.from_csr(rowptr, rel, tail, n_ent)
 
     def tree_flatten(self):
-        return (self.rowptr, self.rel, self.tail), None
+        return (self.rowptr, self.rel, self.tail, self.tsrc, self.trel,
+                self.ttail, self.tail_rowptr), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -248,11 +282,7 @@ class StaticKG:
         self.graph_np = build_csr(g, self.n_ent)
         # per-epoch refresh keeps the same shapes (the 3:1 split is
         # deterministic in the pool size), so compiled programs are reused
-        self.graph = DeviceGraph(
-            jnp.asarray(self.graph_np[0]),
-            jnp.asarray(self.graph_np[1]),
-            jnp.asarray(self.graph_np[2]),
-        )
+        self.graph = DeviceGraph.from_csr(*self.graph_np, self.n_ent)
 
     def resplit(self, rng: np.random.Generator) -> None:
         """Per-epoch random 3:1 facts/train re-split (`load_data.py:152-164`).

@@ -70,7 +70,29 @@ class RelAttnLayer(nn.Module):
     edges_sorted: bool = True  # frontier emitted dst-sorted (dedup='sort')
     mxu_gather_backward: bool = True  # take_rows (off inside shard_map)
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not @nn.compact) so the sparse __call__ and the
+        # dense() hop share one parameter set with unchanged names
+        self.rela_embed = self.param(
+            "rela_embed",
+            nn.initializers.normal(1.0),
+            (2 * self.n_rel + 1, self.hidden_dim),
+        )
+        self.ws = nn.Dense(self.attn_dim, use_bias=False,
+                           kernel_init=_uniform_init(), name="Ws_attn")
+        self.wr = nn.Dense(self.attn_dim, use_bias=False,
+                           kernel_init=_uniform_init(), name="Wr_attn")
+        self.wqr = nn.Dense(self.attn_dim, use_bias=True,
+                            kernel_init=_uniform_init(),
+                            bias_init=_uniform_init(self.hidden_dim),
+                            name="Wqr_attn")
+        self.w_alpha = nn.Dense(1, use_bias=True,
+                                kernel_init=_uniform_init(),
+                                bias_init=_uniform_init(self.attn_dim),
+                                name="w_alpha")
+        self.w_h = nn.Dense(self.hidden_dim, use_bias=False,
+                            kernel_init=_uniform_init(), name="W_h")
+
     def __call__(
         self,
         hidden_prev: jnp.ndarray,  # (prev_cap, D)
@@ -78,24 +100,9 @@ class RelAttnLayer(nn.Module):
         frontier: Frontier,
         node_cap: int,
     ) -> jnp.ndarray:
-        rela_embed = self.param(
-            "rela_embed",
-            nn.initializers.normal(1.0),
-            (2 * self.n_rel + 1, self.hidden_dim),
-        )
-        ws = nn.Dense(self.attn_dim, use_bias=False,
-                      kernel_init=_uniform_init(), name="Ws_attn")
-        wr = nn.Dense(self.attn_dim, use_bias=False,
-                      kernel_init=_uniform_init(), name="Wr_attn")
-        wqr = nn.Dense(self.attn_dim, use_bias=True,
-                       kernel_init=_uniform_init(),
-                       bias_init=_uniform_init(self.hidden_dim),
-                       name="Wqr_attn")
-        w_alpha = nn.Dense(1, use_bias=True, kernel_init=_uniform_init(),
-                           bias_init=_uniform_init(self.attn_dim),
-                           name="w_alpha")
-        w_h = nn.Dense(self.hidden_dim, use_bias=False,
-                       kernel_init=_uniform_init(), name="W_h")
+        rela_embed = self.rela_embed
+        ws, wr, wqr = self.ws, self.wr, self.wqr
+        w_alpha, w_h = self.w_alpha, self.w_h
 
         src, dst, rel, batch, valid = (
             frontier.src, frontier.dst, frontier.rel, frontier.batch,
@@ -148,6 +155,60 @@ class RelAttnLayer(nn.Module):
         if self.edge_axis is not None and self.edge_shards > 1:
             agg = jax.lax.psum(agg, self.edge_axis)
         return ACTIVATIONS[self.act](w_h(agg))
+
+    def dense(self, hidden_dense, visited, q_rel, tsrc, trel, ttail,
+              tail_rowptr, dense_agg: str = "sorted_scatter"):
+        """One hop over the ENTIRE tail-sorted edge table, batch-shared
+        (saturated-frontier regime; design notes in models/temporal.py).
+
+        hidden_dense: (n_ent, b, d); visited: (n_ent, b) bool.
+        Returns (act(W_h agg) (n_ent, b, d), new_visited (n_ent, b),
+        live-edge count)."""
+        d = self.hidden_dim
+        n, b = visited.shape
+        e_all = tsrc.shape[0]
+        cdt = jnp.dtype(self.compute_dtype)
+
+        # pack the visited bit: ONE row gather per edge serves the batch
+        packed = jnp.concatenate(
+            [hidden_dense.astype(cdt),
+             visited[:, :, None].astype(cdt)], -1)   # (N, b, d+1)
+        g = packed[tsrc]                              # (E, b, d+1)
+        hs = g[..., :d]
+        live = g[..., d] > 0.5                        # (E, b)
+
+        rela_c = self.rela_embed.astype(cdt)
+        hr = (take_rows(rela_c, trel) if self.mxu_gather_backward
+              else rela_c[trel])                      # (E, d)
+        h_qr = rela_c[q_rel]                          # (b, d)
+
+        # attention terms factor: hr/h_qr projections amortize over
+        # batch/edges; no (E, b, 3d) concat materializes
+        logits = self.w_alpha(jax.nn.relu(
+            self.ws(hs) + self.wr(hr)[:, None, :]
+            + self.wqr(h_qr)[None, :, :]))
+        alpha = jax.nn.sigmoid(logits.astype(jnp.float32))
+        message = (hs + hr[:, None, :]).astype(jnp.float32) * alpha
+        message = jnp.where(live[..., None], message, 0.0)
+
+        if dense_agg == "cumsum":
+            pref = jnp.cumsum(message, axis=0)
+            pref = jnp.concatenate(
+                [jnp.zeros((1, b, d), pref.dtype), pref], 0)
+            agg = pref[tail_rowptr[1:]] - pref[tail_rowptr[:-1]]
+            cnt = jnp.cumsum(live.astype(jnp.int32), axis=0)
+            cnt = jnp.concatenate([jnp.zeros((1, b), jnp.int32), cnt], 0)
+            new_visited = (cnt[tail_rowptr[1:]]
+                           - cnt[tail_rowptr[:-1]]) > 0
+        else:
+            agg = segment_sum(message.reshape(e_all, b * d), ttail, n,
+                              indices_are_sorted=True,
+                              impl="xla").reshape(n, b, d)
+            new_visited = segment_sum(
+                live.astype(jnp.float32), ttail, n,
+                indices_are_sorted=True, impl="xla") > 0
+        n_live = jnp.sum(live.astype(jnp.int32))
+        return ACTIVATIONS[self.act](self.w_h(agg)), new_visited, n_live
 
 
 class GRUGate(nn.Module):

@@ -59,6 +59,15 @@ class ModelConfig:
     # shard_map restriction as above. Grad noise O(total*eps) — set False
     # for strict grad-parity checks.
     scan_src_backward: bool = True
+    # DENSE-mode hops: once a hop's sparse edge cap approaches b x |edges|
+    # the frontier has saturated — switch to a batch-shared (n_ent, b, d)
+    # node layout over the static tail-sorted table (no expansion gathers,
+    # no dedup, static aggregation ranges). Same design as the temporal
+    # model's dense hops (measured there: ~10 latency-bound E-wide ops per
+    # sparse hop -> 2). Requires graph.tsrc (DeviceGraph.from_csr).
+    dense_hops: bool = True
+    dense_switch: float = 0.25
+    dense_agg: str = "sorted_scatter"
 
 
 def _resolve_dedup(dedup_impl: str, key_space: int, edge_cap: int,
@@ -119,7 +128,56 @@ class RedGNN(nn.Module):
         aux: Dict[str, Any] = {"edge_overflow": [], "node_overflow": [],
                                "num_nodes": [], "num_edges": []}
 
+        # dense-mode plan (trace-time; see ModelConfig.dense_hops)
+        dense_from = None
+        if (cfg.dense_hops and graph.has_dense
+                and cfg.edge_axis is None):
+            n_all_edges = int(graph.tail.shape[0])
+            for i in range(cfg.n_layer):
+                if caps.edge_caps[i] >= cfg.dense_switch * b * n_all_edges:
+                    dense_from = i
+                    break
+        dense_state = None  # (hidden (N,b,d), visited (N,b))
+
         for i in range(cfg.n_layer):
+            layer_i = RelAttnLayer(
+                hidden_dim=cfg.hidden_dim,
+                attn_dim=cfg.attn_dim,
+                n_rel=cfg.n_rel,
+                act=cfg.act,
+                segment_impl=cfg.segment_impl,
+                compute_dtype=cfg.compute_dtype,
+                edge_axis=cfg.edge_axis,
+                edge_shards=cfg.edge_shards,
+                mxu_gather_backward=cfg.mxu_gather_backward,
+                name=f"layer_{i}",
+            ) if dense_from is not None and i >= dense_from else None
+            if layer_i is not None:
+                if dense_state is None:
+                    valid = node_keys != SENTINEL
+                    bidx = jnp.where(valid, node_keys // cfg.n_ent, b)
+                    eidx = jnp.where(valid, node_keys % cfg.n_ent, 0)
+                    hd = jnp.zeros((cfg.n_ent, b, d)).at[eidx, bidx].set(
+                        hidden, mode="drop")
+                    vis = jnp.zeros((cfg.n_ent, b), bool).at[
+                        eidx, bidx].set(valid, mode="drop")
+                    dense_state = (hd, vis)
+                hd, vis = dense_state
+                new_hidden, new_vis, n_live = layer_i.dense(
+                    hd, vis, rels, graph.tsrc, graph.trel, graph.ttail,
+                    graph.tail_rowptr, cfg.dense_agg)
+                new_hidden = nn.Dropout(
+                    cfg.dropout, deterministic=not train)(new_hidden)
+                # GRU carry: hd is zero at never-visited nodes, exactly
+                # the align_old_to_new semantics (new nodes start at 0)
+                hdn = gate(new_hidden, hd)
+                hdn = jnp.where(new_vis[..., None], hdn, 0.0)
+                dense_state = (hdn, new_vis)
+                aux["edge_overflow"].append(jnp.zeros((), bool))
+                aux["node_overflow"].append(jnp.zeros((), bool))
+                aux["num_nodes"].append(jnp.sum(new_vis.astype(jnp.int32)))
+                aux["num_edges"].append(n_live)
+                continue
             dedup = _resolve_dedup(cfg.dedup_impl, b * cfg.n_ent,
                                    caps.edge_caps[i], cfg.segment_impl)
             fr = expand_frontier(
@@ -166,14 +224,20 @@ class RedGNN(nn.Module):
 
         w_final = nn.Dense(1, use_bias=False, kernel_init=_uniform_init(),
                            name="W_final")
-        scores = w_final(hidden)[:, 0]  # (node_cap_L,)
+        if dense_state is not None:
+            hd, vis = dense_state
+            scores_all = w_final(hd)[:, :, 0].T    # (b, n_ent)
+            scores_all = jnp.where(vis.T, scores_all, 0.0)
+        else:
+            scores = w_final(hidden)[:, 0]  # (node_cap_L,)
 
-        valid = node_keys != SENTINEL
-        batch_idx = jnp.where(valid, node_keys // cfg.n_ent, b)
-        ent_idx = jnp.where(valid, node_keys % cfg.n_ent, 0)
-        scores_all = jnp.zeros((b, cfg.n_ent)).at[batch_idx, ent_idx].set(
-            jnp.where(valid, scores, 0.0), mode="drop"
-        )
+            valid = node_keys != SENTINEL
+            batch_idx = jnp.where(valid, node_keys // cfg.n_ent, b)
+            ent_idx = jnp.where(valid, node_keys % cfg.n_ent, 0)
+            scores_all = jnp.zeros((b, cfg.n_ent)).at[
+                batch_idx, ent_idx].set(
+                jnp.where(valid, scores, 0.0), mode="drop"
+            )
 
         for k in ("edge_overflow", "node_overflow"):
             aux[k] = jnp.stack(aux[k])

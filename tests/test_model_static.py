@@ -7,6 +7,7 @@ Same weights => identical dense score matrices (up to fp tolerance).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -272,3 +273,41 @@ def test_scan_src_backward_grads_match(rng):
     for a_, b_ in zip(flat_on, flat_off):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("agg", ["sorted_scatter", "cumsum"])
+def test_static_dense_hops_match_sparse(tmp_path, rng, agg):
+    """Dense-mode static hops (batch-shared tail-sorted table + GRU carry)
+    == the sparse frontier path."""
+    import dataclasses
+    from redgnn_tpu.graph.kg import StaticKG
+    from redgnn_tpu.graph.calibrate import calibrate_caps
+    from tests.test_train_loop import write_kg
+
+    kg = StaticKG.load(str(write_kg(tmp_path, rng)))
+    b = 8
+    base = ModelConfig(n_ent=kg.n_ent, n_rel=kg.n_rel, hidden_dim=16,
+                       attn_dim=5, n_layer=3, dropout=0.0, act="relu")
+    sparse_m = RedGNN(dataclasses.replace(base, dense_hops=False))
+    dense_m = RedGNN(dataclasses.replace(base, dense_hops=True,
+                                         dense_switch=0.0, dense_agg=agg))
+    data = kg.train_data[:b]
+    rowptr, _, tail = kg.graph_np
+    caps = calibrate_caps(rowptr, tail, kg.n_ent, data[:, 0], b,
+                          base.n_layer)
+    subs = jnp.asarray(data[:, 0], jnp.int32)
+    rels = jnp.asarray(data[:, 1], jnp.int32)
+    qmask = jnp.asarray([True] * (b - 2) + [False] * 2)
+    params = sparse_m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        kg.graph, subs, rels, qmask, caps, False)["params"]
+    s_scores, s_aux = sparse_m.apply({"params": params}, kg.graph, subs,
+                                     rels, qmask, caps, False)
+    d_scores, d_aux = dense_m.apply({"params": params}, kg.graph, subs,
+                                    rels, qmask, caps, False)
+    np.testing.assert_allclose(np.asarray(d_scores), np.asarray(s_scores),
+                               rtol=2e-4, atol=3e-5)
+    np.testing.assert_array_equal(np.asarray(d_aux["num_nodes"]),
+                                  np.asarray(s_aux["num_nodes"]))
+    np.testing.assert_array_equal(np.asarray(d_aux["num_edges"]),
+                                  np.asarray(s_aux["num_edges"]))
