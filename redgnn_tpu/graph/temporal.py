@@ -354,3 +354,39 @@ class TemporalKG:
                 row.extend(int(c) for c in cand if c not in true)
             out[i] = row[:q]
         return out
+
+    def neighbor_subgraph(self, src: int, cut_time: int, level: int = 2,
+                          num_neighbors: int = 20,
+                          rng: Optional[np.random.Generator] = None
+                          ) -> Tuple[List[tuple], List[tuple]]:
+        """Recursive temporal neighborhood around (src, cut_time)
+        (`extrapolation/utils.py:501-531`, sans the networkx dependency):
+        per level, up to ``num_neighbors`` uniformly sampled historical
+        edges (t' < node cut time) per frontier node.
+
+        Returns (nodes, edges): nodes are (entity, rel_in, time) keys,
+        edges are (parent_key, child_key) pairs — the same node/edge keys
+        the reference's nx.Graph carries, ready for viz."""
+        rng = rng or np.random.default_rng(0)
+        rowptr, rel_a, tail_a = self.graph_np
+        time_a = self.etime_np
+        root = (int(src), None, int(cut_time))
+        nodes, edges = {root: True}, []
+        frontier = [root]
+        for _ in range(level):
+            nxt = []
+            for key in frontier:
+                ent, _, t = key
+                sl = slice(rowptr[ent], rowptr[ent + 1])
+                cand = np.nonzero(time_a[sl] < t)[0] + rowptr[ent]
+                if len(cand) > num_neighbors:
+                    cand = rng.choice(cand, num_neighbors, replace=False)
+                for s in cand:
+                    child = (int(tail_a[s]), int(rel_a[s]),
+                             int(time_a[s]))
+                    edges.append((key, child))
+                    if child not in nodes:
+                        nodes[child] = True
+                        nxt.append(child)
+            frontier = nxt
+        return list(nodes), edges

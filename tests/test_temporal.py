@@ -494,3 +494,18 @@ def test_negative_sampling_objects(tmp_path, rng):
     for (s, p, o, t), row in zip(data, neg):
         assert all(0 <= c < kg.n_ent for c in row)
         assert not (set(row) & spt[(s, p, t)])
+
+
+def test_neighbor_subgraph(tmp_path, rng):
+    """Recursive temporal subgraph: every edge respects causality
+    (`extrapolation/utils.py:501-531` semantics)."""
+    kg = _make_kg(tmp_path, rng)
+    q = kg.splits["train"][kg.splits["train"][:, 3] > 3][0]
+    nodes, edges = kg.neighbor_subgraph(int(q[0]), int(q[3]), level=2,
+                                        num_neighbors=5)
+    assert nodes[0] == (int(q[0]), None, int(q[3]))
+    assert len(edges) >= 1
+    keys = set(nodes)
+    for parent, child in edges:
+        assert parent in keys and child in keys
+        assert child[2] < parent[2]     # strictly earlier than the parent
