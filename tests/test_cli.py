@@ -108,3 +108,23 @@ def test_cli_hpo_smoke(tmp_path, rng, capsys):
     best = json.loads(out.split("HPO_BEST ", 1)[1].splitlines()[0])
     assert "params" in best and "valid_mrr" in best
     assert os.path.exists(tmp_path / "results" / "kg_hpo.jsonl")
+
+
+@pytest.mark.parametrize("name", ["icews05-15_aug", "wikidata11k_aug"])
+def test_cli_unfetchable_dataset_configs_run(tmp_path, rng, name):
+    """The icews05-15/wikidata11k registry recipes (sigmoid act, plain
+    Adam, bs4/bs20) execute end-to-end — their real data is unfetchable
+    here (zero egress), so a tiny synthetic dir named after them carries
+    the config through the full CLI path."""
+    d = tmp_path / name
+    d.mkdir()
+    write_temporal_dir(d, rng)
+    main([
+        "--task", "interpolation", "--data_path", str(d),
+        "--epochs", "1", "--results_dir", str(tmp_path / "results"),
+        "--set", "hidden_dim=8", "attn_dim=6", "n_layer=2",
+        "max_train_batches=2", "max_eval_batches=2",
+    ])
+    out = json.loads((tmp_path / "results" / f"{name}_metrics.jsonl"
+                      ).read_text().splitlines()[0])
+    assert np.isfinite(out["loss"])
