@@ -97,6 +97,7 @@ class StaticTrainer:
             act=cfg.act, segment_impl=cfg.segment_impl,
             compute_dtype=cfg.compute_dtype, dedup_impl=cfg.dedup_impl,
             scan_src_backward=cfg.scan_src_backward,
+            dense_hops=cfg.dense_hops, dense_switch=cfg.dense_switch,
         )
         self.model = RedGNN(self.model_cfg)
 

@@ -117,6 +117,7 @@ class TemporalTrainer:
             n_frequencies=cfg.n_frequencies,
             segment_impl=cfg.segment_impl,
             scan_src_backward=cfg.scan_src_backward,
+            dense_hops=cfg.dense_hops, dense_switch=cfg.dense_switch,
         )
         self.model = TRedGNN(self.model_cfg)
         if mesh is not None:

@@ -33,6 +33,8 @@ class TrainConfig:
     compute_dtype: str = "float32"  # "bfloat16" for bandwidth-bound graphs
     dedup_impl: str = "auto"  # 'sort' | 'bitmap' | 'auto' (see models/redgnn.py)
     scan_src_backward: bool = True  # prefix-sum hidden[src] backward
+    dense_hops: bool = True    # batch-shared hops once frontiers saturate
+    dense_switch: float = 0.25
     cap_headroom: float = 1.2
     scan_chunk: int = 256  # max steps per device dispatch (watchdog bound)
 
@@ -129,6 +131,8 @@ class TemporalTrainConfig:
     # TPU-specific
     segment_impl: str = "xla"
     scan_src_backward: bool = True  # prefix-sum hidden[src] backward
+    dense_hops: bool = True    # batch-shared hops once frontiers saturate
+    dense_switch: float = 0.25
     cap_headroom: float = 1.2
     scan_chunk: int = 16  # max steps per device dispatch; the tunneled
     # worker dies when a single execution runs much past ~1 minute

@@ -190,3 +190,40 @@ def test_static_trainer_mesh_matches_single_device(tmp_path, rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-4),
         single.params, sharded.params)
+
+
+def test_temporal_dense_under_mesh(tmp_path, rng):
+    """Dense-mode hops inside the shard_map data axis: sharded loss ==
+    single device with dense forced on every hop."""
+    import dataclasses
+    from test_temporal import _make_kg
+    from redgnn_tpu.train.temporal_loop import TemporalTrainer
+    from redgnn_tpu.utils.config import TemporalTrainConfig
+
+    kg = _make_kg(tmp_path, rng)
+    cfg = TemporalTrainConfig(hidden_dim=12, attn_dim=8, n_layer=2,
+                              dropout=0.0, lr=5e-3, batch_size=16,
+                              eval_batch_size=16, epochs=1,
+                              dense_switch=0.0)
+    single = TemporalTrainer(kg, cfg)
+    sharded = TemporalTrainer(kg, cfg, mesh=make_mesh(8, 1))
+    b = cfg.batch_size
+    data = kg.splits["train"][:b]
+    rows = kg.exclusion_slots(np.arange(b))
+    args = (jnp.asarray(data[:, 0], jnp.int32),
+            jnp.asarray(data[:, 1], jnp.int32),
+            jnp.asarray(data[:, 2], jnp.int32),
+            jnp.asarray(data[:, 3], jnp.int32),
+            jnp.ones(b, bool), jnp.asarray(rows, jnp.int32))
+    caps_s = single._get_caps("train", data, b)
+    caps_m = sharded._get_caps("train", data, sharded._cap_b(b))
+    k = jax.random.PRNGKey(5)
+    _, _, loss1, ov1 = jax.jit(single._train_step_impl,
+                               static_argnames=("caps",))(
+        single.params, single.opt_state, single._kgarrs, *args, k, caps_s)
+    _, _, loss2, ov2 = jax.jit(sharded._train_step_impl,
+                               static_argnames=("caps",))(
+        sharded.params, sharded.opt_state, sharded._kgarrs, *args, k,
+        caps_m)
+    assert not bool(ov1) and not bool(ov2)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
