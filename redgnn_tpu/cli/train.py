@@ -95,6 +95,9 @@ def main(argv=None):
                         "the task's reference space instead of a single "
                         "fit (`ray_hpo.py:280-287`, "
                         "`hyperopt_train.py:167-175`)")
+    p.add_argument("--hpo_workers", type=int, default=1,
+                   help="concurrent trials per ASHA rung (one local "
+                        "device each; trial-parallel HPO)")
     p.add_argument("--attention_stats", default=None, metavar="PATH.npz",
                    help="after training, dump (query-rel x edge-rel) "
                         "attention sum/count statistics "
@@ -259,7 +262,7 @@ def main(argv=None):
         best = asha_search(
             space, run_trial, num_trials=args.hpo,
             max_epochs=args.epochs or 8,
-            seed=cfg.seed,
+            seed=cfg.seed, n_workers=args.hpo_workers,
             log_path=os.path.join(args.results_dir,
                                   f"{dataset}_hpo.jsonl"))
         line = "HPO_BEST " + json.dumps(

@@ -95,12 +95,20 @@ def asha_search(
     reduction_factor: int = 2,
     seed: int = 0,
     log_path: Optional[str] = None,
+    n_workers: int = 1,
 ) -> Trial:
     """Successive-halving search.
 
     ``run_trial(params, epochs, resume_state) -> (metric, state)`` trains
     ``epochs`` more epochs (resuming from ``state`` if given) and returns
     the validation metric (higher is better).
+
+    ``n_workers > 1`` runs a rung's trials concurrently, each thread
+    pinned to one local device via ``jax.default_device`` (the reference's
+    trial-parallel multi-GPU HPO, `hyperopt_train.py:22` /
+    `ray_hpo.py` — here a thread pool over ``jax.local_devices()``; jax
+    dispatch is async per device, so independent trials overlap). On a
+    single chip this degrades gracefully to the sequential loop.
     """
     rng = np.random.default_rng(seed)
     trials = [
@@ -115,25 +123,50 @@ def asha_search(
         rungs.append(e)
         e *= reduction_factor
 
+    def advance(t: Trial, rung_epochs: int, device=None) -> None:
+        add = rung_epochs - t.epochs_done
+        if add <= 0:
+            return
+        if device is not None:
+            import jax
+
+            with jax.default_device(device):
+                metric, state = run_trial(t.params, add,
+                                          states.get(t.trial_id))
+        else:
+            metric, state = run_trial(t.params, add, states.get(t.trial_id))
+        states[t.trial_id] = state
+        t.metric = metric
+        t.epochs_done = rung_epochs
+        t.history.append(metric)
+        t.status = "running"
+        if log_path:
+            with open(log_path, "a+") as f:
+                f.write(json.dumps({
+                    "trial": t.trial_id, "epochs": t.epochs_done,
+                    "metric": metric, "params": t.params,
+                    "t": time.time(),
+                }) + "\n")
+
     alive = list(trials)
     for rung_epochs in rungs:
-        for t in alive:
-            add = rung_epochs - t.epochs_done
-            if add <= 0:
-                continue
-            metric, state = run_trial(t.params, add, states.get(t.trial_id))
-            states[t.trial_id] = state
-            t.metric = metric
-            t.epochs_done = rung_epochs
-            t.history.append(metric)
-            t.status = "running"
-            if log_path:
-                with open(log_path, "a+") as f:
-                    f.write(json.dumps({
-                        "trial": t.trial_id, "epochs": t.epochs_done,
-                        "metric": metric, "params": t.params,
-                        "t": time.time(),
-                    }) + "\n")
+        if n_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            import jax
+
+            devices = jax.local_devices()
+            with ThreadPoolExecutor(max_workers=n_workers) as pool:
+                futs = [
+                    pool.submit(advance, t, rung_epochs,
+                                devices[i % len(devices)])
+                    for i, t in enumerate(alive)
+                ]
+                for f in futs:
+                    f.result()
+        else:
+            for t in alive:
+                advance(t, rung_epochs)
         alive.sort(key=lambda t: t.metric, reverse=True)
         keep = max(1, len(alive) // reduction_factor)
         for t in alive[keep:]:

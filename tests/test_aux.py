@@ -189,3 +189,26 @@ def test_line_tracer_env_toggle(tmp_path, monkeypatch):
     with maybe_trace_from_env():
         pass
     assert p.exists()
+
+
+def test_asha_parallel_matches_sequential():
+    """n_workers>1 produces the same trials/metrics/best as sequential
+    (deterministic run_trial; threads pinned to virtual devices)."""
+    from redgnn_tpu.utils.hpo import LogUniform, Choice, asha_search
+
+    space = {"lr": LogUniform(1e-4, 1e-1), "width": Choice([4, 8, 16])}
+
+    def run_trial(params, epochs, state):
+        done = (state or 0) + epochs
+        # deterministic pseudo-metric: peaks near lr=1e-2, width 8
+        import math
+        m = -abs(math.log10(params["lr"]) + 2) - abs(params["width"] - 8) / 8
+        return m + 0.1 * done, done
+
+    best_seq = asha_search(space, run_trial, num_trials=6, max_epochs=4,
+                           seed=3, n_workers=1)
+    best_par = asha_search(space, run_trial, num_trials=6, max_epochs=4,
+                           seed=3, n_workers=3)
+    assert best_seq.params == best_par.params
+    assert best_seq.metric == best_par.metric
+    assert best_seq.epochs_done == best_par.epochs_done
