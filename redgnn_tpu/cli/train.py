@@ -171,7 +171,7 @@ def main(argv=None):
 
             kg = InductiveKG.load(args.data_path)
         build_trainer = lambda c: StaticTrainer(kg, c, mesh=mesh)
-        trainer = build_trainer(cfg)
+        trainer = None if args.hpo else build_trainer(cfg)
     else:
         from redgnn_tpu.graph.temporal import TemporalKG
         from redgnn_tpu.train.temporal_loop import TemporalTrainer
@@ -227,15 +227,16 @@ def main(argv=None):
             trainer = SimplETrainer(kg, seed=cfg.seed, epochs=cfg.epochs)
         else:
             build_trainer = lambda c: TemporalTrainer(kg, c, mesh=mesh)
-            trainer = build_trainer(cfg)
+            trainer = None if args.hpo else build_trainer(cfg)
 
     logger = ExperimentLogger(args.results_dir, dataset, cfg,
                               sqlite_path=args.sqlite)
     print(json.dumps(dataclasses.asdict(cfg)))
 
     if args.timer:
-        if not hasattr(trainer, "timer"):
-            raise SystemExit("--timer supports the redgnn trainers only")
+        if trainer is None or not hasattr(trainer, "timer"):
+            raise SystemExit("--timer supports the redgnn trainers only "
+                             "(and not --hpo)")
         trainer.timer.enabled = True
 
     if args.hpo:
@@ -247,6 +248,13 @@ def main(argv=None):
         space = (STATIC_SPACE if args.task in ("transductive", "inductive")
                  else INTERPOLATION_SPACE)
 
+        if args.hpo_workers > 1 and args.task in ("transductive",
+                                                   "inductive"):
+            # static trials resplit the SHARED kg per epoch — racy across
+            # threads; trial-parallelism is temporal-only for now
+            raise SystemExit("--hpo_workers > 1 supports temporal tasks "
+                             "only (static trials re-split a shared graph)")
+
         def run_trial(params_d, epochs, state):
             if state is None:
                 tcfg = dataclasses.replace(cfg, **params_d)
@@ -257,6 +265,10 @@ def main(argv=None):
             for e in range(done, done + epochs):
                 tr.train_epoch(e)
                 metric = tr.evaluate("valid")["mrr"]
+                if hasattr(tr.kg, "resplit"):
+                    # per-epoch 3:1 facts/train re-split, same regime as
+                    # the real fit() (`load_data.py:152-164`)
+                    tr.kg.resplit(tr._np_rng)
             return float(metric), (tr, done + epochs)
 
         best = asha_search(
@@ -314,8 +326,8 @@ def main(argv=None):
         out = {}
         for split in args.eval_splits.split(","):
             split = split.strip()
-            if hasattr(trainer.kg, "splits") and \
-                    split not in trainer.kg.splits:
+            known = getattr(trainer.kg, "splits", None)
+            if known is None or split not in known:
                 print(f"eval split '{split}' not available; skipping")
                 continue
             out[split] = trainer.evaluate(split)

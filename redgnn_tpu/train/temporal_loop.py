@@ -701,35 +701,45 @@ class TemporalTrainer:
 
         model = TRedGNN(_dc.replace(self.model_cfg, collect_alpha=True,
                                     dense_hops=False))
-        data = self.kg.splits[split]
+        data = self.kg.splits[split][: max_batches
+                                     * self.cfg.eval_batch_size]
         b = self.cfg.eval_batch_size
-        data = data[: max_batches * b]
-        caps = self._get_caps(f"eval_{split}", self.kg.splits[split],
-                              self._cap_b(b))
+        # dedicated FULL-batch caps: this forward runs replicated (plain
+        # jit, even under a mesh), so per-shard eval caps would clamp
+        caps = self._get_caps(f"attn_{split}", data, b)
         n_rel = self.model_cfg.n_rel_vocab
-        acc = np.zeros((n_rel, n_rel, 2))
-        apply = jax.jit(
-            lambda p, kgarrs, s, r, t, q: self._apply(
-                p, kgarrs, s, r, t, q, caps, None, False, model=model),
-            static_argnames=())
-        for start in range(0, len(data), b):
-            batch = data[start:start + b]
-            pad = b - len(batch)
-            qmask = np.concatenate([np.ones(len(batch), bool),
-                                    np.zeros(pad, bool)])
-            if pad:
-                batch = np.concatenate(
-                    [batch, np.zeros((pad, 4), np.int64)])
-            _, aux = apply(self.params, self._kgarrs,
-                           jnp.asarray(batch[:, 0], jnp.int32),
-                           jnp.asarray(batch[:, 1], jnp.int32),
-                           jnp.asarray(batch[:, 3], jnp.int32),
-                           jnp.asarray(qmask))
-            for a, er, qr, va in zip(*(jax.device_get(aux[k]) for k in
-                                       ("alpha", "alpha_rel", "alpha_qrel",
-                                        "alpha_valid"))):
-                acc += collect_attention_stats(a, er, qr, va, n_rel)
-        return acc
+        for attempt in range(3):
+            acc = np.zeros((n_rel, n_rel, 2))
+            apply = jax.jit(
+                lambda p, kgarrs, s, r, t, q, caps=caps: self._apply(
+                    p, kgarrs, s, r, t, q, caps, None, False, model=model))
+            overflow_seen = False
+            for start in range(0, len(data), b):
+                batch = data[start:start + b]
+                pad = b - len(batch)
+                qmask = np.concatenate([np.ones(len(batch), bool),
+                                        np.zeros(pad, bool)])
+                if pad:
+                    batch = np.concatenate(
+                        [batch, np.zeros((pad, 4), np.int64)])
+                _, aux = apply(self.params, self._kgarrs,
+                               jnp.asarray(batch[:, 0], jnp.int32),
+                               jnp.asarray(batch[:, 1], jnp.int32),
+                               jnp.asarray(batch[:, 3], jnp.int32),
+                               jnp.asarray(qmask))
+                if bool(jnp.any(aux["edge_overflow"])
+                        | jnp.any(aux["node_overflow"])):
+                    overflow_seen = True
+                    break
+                for a, er, qr, va in zip(*(jax.device_get(aux[k]) for k in
+                                           ("alpha", "alpha_rel",
+                                            "alpha_qrel", "alpha_valid"))):
+                    acc += collect_attention_stats(a, er, qr, va, n_rel)
+            if not overflow_seen:
+                return acc
+            self._recalibrate_exact(f"attn_{split}", data, b)
+            caps = self.caps[f"attn_{split}"]
+        raise RuntimeError("attention-stats caps failed to stabilize")
 
     # ------------------------------------------------------------------
     def plateau_step(self, valid_loss: float) -> None:
@@ -805,7 +815,16 @@ class TemporalTrainer:
     def restore(self, path: str) -> int:
         from redgnn_tpu.utils.checkpoint import load_checkpoint
 
-        state, epoch, _ = load_checkpoint(path, self.state())
+        try:
+            state, epoch, _ = load_checkpoint(path, self.state())
+        except Exception as e:
+            raise RuntimeError(
+                f"checkpoint {path} does not match this trainer's state "
+                "structure. Note: optimizer='adam' checkpoints written "
+                "before the coupled-weight-decay fix (round 2) have a "
+                "different optax chain and cannot be restored; retrain "
+                f"or use --resume_latest (fresh-start fallback). ({e})"
+            ) from e
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.restore_host(path)

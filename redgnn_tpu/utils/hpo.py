@@ -159,8 +159,8 @@ def asha_search(
             with ThreadPoolExecutor(max_workers=n_workers) as pool:
                 futs = [
                     pool.submit(advance, t, rung_epochs,
-                                devices[i % len(devices)])
-                    for i, t in enumerate(alive)
+                                devices[t.trial_id % len(devices)])
+                    for t in alive
                 ]
                 for f in futs:
                     f.result()
