@@ -844,16 +844,17 @@ class TemporalTrainer:
             self.plateau_step(vm["loss"])
             row = {"epoch": epoch, "loss": loss, "lr": self._lr,
                    **{f"valid_{k}": v for k, v in vm.items()}}
-            if logger is not None:
-                logger.log_scalars(epoch, {k: v for k, v in row.items()
-                                           if isinstance(v, (int, float))},
-                                   tag="eval")
             if vm["h1"] > best["valid_h1"]:
                 tm = self.evaluate("test")
                 row.update({f"test_{k}": v for k, v in tm.items()})
                 best = dict(row, valid_h1=vm["h1"])
                 if ckpt_dir:
                     self.save(ckpt_dir, epoch, vm["h1"])
+            if logger is not None:
+                # after the best-update so test metrics reach the JSONL
+                logger.log_scalars(epoch, {k: v for k, v in row.items()
+                                           if isinstance(v, (int, float))},
+                                   tag="eval")
             self.history.append(row)
             if ckpt_dir:
                 save_latest(ckpt_dir, self.state(), epoch + 1, vm["h1"],
