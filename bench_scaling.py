@@ -30,6 +30,9 @@ def main():
                     help="force N virtual CPU devices (0 = real devices)")
     ap.add_argument("--per_device_batch", type=int, default=20)
     ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--task", default="static",
+                    choices=["static", "temporal"],
+                    help="temporal: TemporalTrainer sharded step (q/s)")
     args = ap.parse_args()
 
     if args.virtual:
@@ -51,6 +54,9 @@ def main():
     from redgnn_tpu.parallel.shard import make_dp_train_step
     from redgnn_tpu.train.loop import make_optimizer
     from redgnn_tpu.utils.config import dataset_config
+
+    if args.task == "temporal":
+        return temporal_scaling(args)
 
     kg = StaticKG.load(args.data_path)
     cfg = dataset_config("static_transductive",
@@ -106,6 +112,76 @@ def main():
             "devices": d,
             "edges_per_s": round(eps, 1),
             "efficiency_vs_1": round(eps / (base * d), 4),
+        }), flush=True)
+
+
+def temporal_scaling(args):
+    """q/s of the sharded TRedGNN train step at widths 1..N (data axis).
+
+    Default data path still points at the static dir; pass a temporal
+    dir, e.g. /root/reference/Temporal/interpolation/data/ICEWS14_TeMP."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from redgnn_tpu.graph.temporal import TemporalKG
+    from redgnn_tpu.parallel.mesh import make_mesh
+    from redgnn_tpu.train.temporal_loop import TemporalTrainer
+    from redgnn_tpu.utils.config import dataset_config
+    import os, time, json
+
+    dataset = os.path.basename(args.data_path.rstrip("/"))
+    cfg = dataset_config("temporal", dataset)
+    if os.path.exists(os.path.join(args.data_path, "entity2id.txt")):
+        kg = TemporalKG.load_id_dir(
+            args.data_path, add_inverse=True,
+            time_granularity=cfg.time_granularity,
+            graph_from_all_splits=(cfg.mode == "extrapolation"))
+    else:
+        kg = TemporalKG.load_vocab_dir(args.data_path)
+    devices = jax.devices()
+    widths = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]
+    base = None
+    import dataclasses
+    for d in widths:
+        b = args.per_device_batch * d
+        tcfg = dataclasses.replace(cfg, batch_size=b, eval_batch_size=b)
+        # mesh at EVERY width (incl. 1) so efficiency compares the same
+        # code path: inside shard_map the custom-VJP gathers are off, and
+        # their scatter-add fallback is pathologically slow on the CPU
+        # emulation backend (fine on TPU at ~7ns/row)
+        mesh = make_mesh(d, 1, devices=devices[:d])
+        tr = TemporalTrainer(kg, tcfg, mesh=mesh)
+        data = kg.splits["train"][: b * args.steps]
+        caps = tr._get_caps("train", data, tr._cap_b(b))
+        rows = (kg.exclusion_slots(np.arange(len(data)))
+                if cfg.mode == "interpolation" else None)
+        step = jax.jit(tr._train_step_impl, static_argnames=("caps",))
+        k = jax.random.PRNGKey(0)
+        p_, o_ = tr.params, tr.opt_state
+        nsteps = len(data) // b
+        def batch_args(i):
+            sl = slice(i * b, (i + 1) * b)
+            excl = (jnp.asarray(rows[sl], jnp.int32)
+                    if rows is not None else None)
+            return (jnp.asarray(data[sl, 0], jnp.int32),
+                    jnp.asarray(data[sl, 1], jnp.int32),
+                    jnp.asarray(data[sl, 2], jnp.int32),
+                    jnp.asarray(data[sl, 3], jnp.int32),
+                    jnp.ones(b, bool), excl)
+        p_, o_, loss, ov = step(p_, o_, tr._kgarrs, *batch_args(0), k, caps)
+        jax.block_until_ready(loss)
+        t0 = time.time()
+        for i in range(nsteps):
+            p_, o_, loss, ov = step(p_, o_, tr._kgarrs, *batch_args(i),
+                                    k, caps)
+        jax.block_until_ready(loss)
+        qps = nsteps * b / (time.time() - t0)
+        if base is None:
+            base = qps
+        print(json.dumps({
+            "devices": d, "queries_per_s": round(qps, 2),
+            "efficiency_vs_1": round(qps / (base * d), 4),
         }), flush=True)
 
 
