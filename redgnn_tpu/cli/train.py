@@ -107,6 +107,11 @@ def main(argv=None):
                         " shards (query-parallel), optionally x E "
                         "edge-parallel slices per shard (static models "
                         "only). Example: --mesh 4x2 on 8 chips.")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed for multi-host runs "
+                        "(coordinator/process env: JAX_COORDINATOR_ADDRESS,"
+                        " JAX_NUM_PROCESSES, JAX_PROCESS_ID); a no-op "
+                        "single-process, so safe to pass unconditionally")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a jax backend (the axon tunnel plugin "
                         "overrides JAX_PLATFORMS, so --platform cpu is the "
@@ -134,6 +139,14 @@ def main(argv=None):
     from redgnn_tpu.utils.config import dataset_config
     from redgnn_tpu.utils.reporting import ExperimentLogger
     from redgnn_tpu.utils.memory import PeakRSSMonitor, write_memory_report
+
+    if args.distributed:
+        from redgnn_tpu.parallel.runtime import initialize_distributed
+
+        info = initialize_distributed()
+        print(f"distributed runtime: process {info['process_index']}/"
+              f"{info['process_count']}, {info['local_devices']} local / "
+              f"{info['global_devices']} global devices")
 
     mesh = None
     if args.mesh:

@@ -27,12 +27,19 @@ def augment_with_inverses(src_dir: str, dst_dir: str,
         with open(path) as f:
             lines = f.read().lower().splitlines()
         rows = [ln.split("\t") for ln in lines if ln.strip()]
-        out_lines = list(lines)
-        for r in rows:
-            if wikidata_format:
-                h, rel, t, since, time = r[:5]
-                out_lines.append("\t".join([t, "~" + rel, h, since, time]))
-            else:
+        if wikidata_format:
+            # wikidata11k's 5-column TSV (h, r, t, since, time): the
+            # reference folds the 'since' marker into the relation name
+            # and emits ONLY the rewritten rows + inverses — the raw
+            # originals are not kept (`preprocess.py:36-45`, the
+            # `result.writelines(lines)` there is commented out).
+            out_lines = ["\t".join([h, f"{rel}-{since}", t, time])
+                         for h, rel, t, since, time in (r[:5] for r in rows)]
+            out_lines += ["\t".join([t, f"~{rel}-{since}", h, time])
+                          for h, rel, t, since, time in (r[:5] for r in rows)]
+        else:
+            out_lines = list(lines)
+            for r in rows:
                 h, rel, t, time = r[:4]
                 out_lines.append("\t".join([t, "~" + rel, h, time]))
         with open(os.path.join(dst_dir, fname), "w") as f:

@@ -227,3 +227,15 @@ def test_temporal_dense_under_mesh(tmp_path, rng):
         caps_m)
     assert not bool(ov1) and not bool(ov2)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+
+
+def test_initialize_distributed_single_process():
+    """--distributed is a no-op single-process: no coordinator env means
+    no jax.distributed.initialize call, just a truthful summary dict."""
+    from redgnn_tpu.parallel.runtime import initialize_distributed
+
+    info = initialize_distributed()
+    assert info["process_index"] == 0
+    assert info["process_count"] == 1
+    assert info["local_devices"] >= 1
+    assert info["global_devices"] >= info["local_devices"]

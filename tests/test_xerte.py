@@ -118,6 +118,29 @@ def test_seen_unseen_splits(tmp_path, rng):
     assert n_dst == 2 * n_src
 
 
+def test_wikidata_augmentation_folds_since(tmp_path):
+    """wikidata11k 5-col format: the reference rewrites relation ->
+    relation-since and keeps ONLY rewritten rows + inverses
+    (`interpolation/data/preprocess.py:27-45`)."""
+    from redgnn_tpu.graph.preprocess import augment_with_inverses
+
+    src = tmp_path / "wd"
+    src.mkdir()
+    (src / "train.txt").write_text(
+        "E1\tP26\tE2\toccursSince\t2001\n"
+        "E3\tP39\tE4\toccursUntil\t1999\n")
+    dst = tmp_path / "wd_aug"
+    augment_with_inverses(str(src), str(dst), files=("train.txt",),
+                          wikidata_format=True)
+    out = (dst / "train.txt").read_text().splitlines()
+    assert out == [
+        "e1\tp26-occurssince\te2\t2001",
+        "e3\tp39-occursuntil\te4\t1999",
+        "e2\t~p26-occurssince\te1\t2001",
+        "e4\t~p39-occursuntil\te3\t1999",
+    ]
+
+
 def test_xerte_overflow_grows_caps(tmp_path, rng):
     """Visited-set overflow is surfaced and handled by geometric capacity
     growth + replay (review fix: it used to be silently dropped,
