@@ -212,3 +212,37 @@ def test_asha_parallel_matches_sequential():
     assert best_seq.params == best_par.params
     assert best_seq.metric == best_par.metric
     assert best_seq.epochs_done == best_par.epochs_done
+
+
+def test_plateau_lr_applies_through_multisteps(tmp_path):
+    """VERDICT weak #5: pin that the plateau lr rewrite actually changes
+    the update emitted by the MultiSteps(inject_hyperparams(adam)) stack —
+    not just the hyperparams leaf. With constant unit grads Adam's first
+    real step is |update| ~= lr exactly, so the halved lr is observable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+    from redgnn_tpu.graph.temporal import TemporalKG
+    from redgnn_tpu.train.temporal_loop import TemporalTrainer
+    from redgnn_tpu.utils.config import TemporalTrainConfig
+    from tests.test_temporal import write_temporal_dir
+
+    rng = _np.random.default_rng(7)
+    kg = TemporalKG.load_vocab_dir(str(write_temporal_dir(tmp_path, rng)))
+    cfg = TemporalTrainConfig(hidden_dim=8, attn_dim=4, n_layer=2,
+                              batch_size=16, patience=1, lr=0.01,
+                              plateau_factor=0.5, optimizer="adam",
+                              weight_decay=0.0, grad_accum_steps=4)
+    tr = TemporalTrainer(kg, cfg)
+    tr.plateau_step(1.0)
+    tr.plateau_step(1.1)
+    tr.plateau_step(1.2)   # bad=2 > patience -> lr 0.01 -> 0.005
+    grads = jax.tree.map(jnp.ones_like, tr.params)
+    state = tr.opt_state
+    emitted = None
+    for _ in range(cfg.grad_accum_steps):
+        emitted, state = tr.tx.update(grads, state, tr.params)
+    mags = _np.concatenate([_np.abs(_np.ravel(x))
+                            for x in jax.tree.leaves(emitted)])
+    # micro-steps 1..3 emit zeros; the 4th emits the real Adam step
+    assert _np.all(_np.abs(mags - 0.005) < 5e-4), (mags.min(), mags.max())
