@@ -1,15 +1,24 @@
 """Benchmark: RED-GNN training throughput on real TPU hardware.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+Prints TWO JSON lines:
+  {"metric": "train_edges_per_sec_family_single_chip", ...}   static path
+  {"metric": "train_queries_per_sec_icews14_interp_single_chip", ...}
+                                                            temporal path
 
-Metric: true propagated edges/second through the full production train
-path — a lax.scan over pre-staged batches running the L-hop expansion,
-attention, aggregation, backward and Adam for each — on the family KG
-with the reference's tuned config (`Static/transductive/train.py:46-55`:
-B=20, L=3, D=48). The reference repo commits no throughput numbers
-(BASELINE.md), so the pinned first single-chip measurement below is the
-vs_baseline denominator.
+Line 1: true propagated edges/second through the full production static
+train path — a lax.scan over pre-staged batches running the L-hop
+expansion, attention, aggregation, backward and Adam for each — on the
+family KG with the reference's tuned config
+(`Static/transductive/train.py:46-55`: B=20, L=3, D=48).
+
+Line 2: training queries/second of the flagship TEMPORAL interpolation
+path (T-RED-GNN on ICEWS14_TeMP, bs32 L=4 dense-mode hops) — the round-2
+perf lever (sparse 20.7 -> dense 125 q/s) that the static line cannot
+see (family never saturates into dense mode).
+
+The reference repo commits no throughput numbers (BASELINE.md), so the
+pinned first single-chip measurements below are the vs_baseline
+denominators.
 """
 
 from __future__ import annotations
@@ -29,7 +38,13 @@ import jax.numpy as jnp
 # XLA segment sum. Later rounds report progress against this.
 PINNED_BASELINE_EDGES_PER_S = 2.893e6
 
+# Pinned round-2 measurement (train q/s) of the ICEWS14_TeMP dense-hop
+# interpolation step on the v5e (docs/PERF.md:166-181).
+PINNED_BASELINE_INTERP_QPS = 125.0
+
 DATA_DIR = "/root/reference/Static/transductive/data/family"
+TEMPORAL_DATA_DIR = \
+    "/root/reference/Temporal/interpolation/data/ICEWS14_TeMP"
 
 
 def wait_for_device(max_wait_s: float = 900.0) -> None:
@@ -46,22 +61,13 @@ def wait_for_device(max_wait_s: float = 900.0) -> None:
             time.sleep(30)
 
 
-def main():
+def bench_static(overrides):
     from redgnn_tpu.graph.calibrate import simulate_hops
     from redgnn_tpu.graph.kg import StaticKG
     from redgnn_tpu.train.loop import StaticTrainer
     from redgnn_tpu.utils.config import dataset_config
 
-    wait_for_device()
     kg = StaticKG.load(DATA_DIR)
-    # optional config overrides for A/B runs: bench.py field=value ...
-    overrides = {}
-    for pair in sys.argv[1:]:
-        key, _, raw = pair.partition("=")
-        try:
-            overrides[key] = json.loads(raw)
-        except ValueError:
-            overrides[key] = raw
     cfg = dataset_config("static_transductive", "family",
                          cap_headroom=1.35, **overrides)
     trainer = StaticTrainer(kg, cfg)
@@ -125,7 +131,75 @@ def main():
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / PINNED_BASELINE_EDGES_PER_S, 4),
-    }))
+    }), flush=True)
+
+
+def bench_temporal(overrides):
+    """q/s of the production ICEWS14_TeMP interpolation train step
+    (dense-mode hops, leave-one-out exclusion, AdamW) via the same
+    whole-chunk lax.scan the trainer dispatches."""
+    from redgnn_tpu.graph.temporal import TemporalKG
+    from redgnn_tpu.train.temporal_loop import TemporalTrainer
+    from redgnn_tpu.utils.config import dataset_config
+
+    nb = int(overrides.pop("bench_nb", 32))  # benched steps per repetition
+    cfg = dataset_config("temporal", "ICEWS14_TeMP", **overrides)
+    kg = TemporalKG.load_id_dir(
+        TEMPORAL_DATA_DIR, add_inverse=True,
+        time_granularity=cfg.time_granularity)
+    trainer = TemporalTrainer(kg, cfg)
+
+    b = cfg.batch_size
+    data = kg.splits["train"][: nb * b]
+    order = np.arange(nb * b)
+    caps = trainer._get_caps("train", data, b, order=order)
+    rows = kg.exclusion_slots(order)
+    cols = [jnp.asarray(data[:, j].reshape(nb, b), jnp.int32)
+            for j in range(4)]
+    qm = jnp.ones((nb, b), bool)
+    excl = jnp.asarray(rows.reshape(nb, b), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+
+    def run():
+        return trainer._train_epoch_scan(
+            trainer.params, trainer.opt_state, trainer._kgarrs,
+            cols[0], cols[1], cols[2], cols[3], qm, excl, rng, caps)
+
+    p, o, loss_sum, overflow = run()
+    jax.block_until_ready(loss_sum)
+    assert not bool(overflow), "frontier caps overflowed during warmup"
+
+    reps = 2
+    t0 = time.time()
+    for _ in range(reps):
+        p, o, loss_sum, overflow = run()
+    jax.block_until_ready(loss_sum)
+    elapsed = time.time() - t0
+
+    qps = nb * b * reps / elapsed
+    print(json.dumps({
+        "metric": "train_queries_per_sec_icews14_interp_single_chip",
+        "value": round(qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / PINNED_BASELINE_INTERP_QPS, 4),
+    }), flush=True)
+
+
+def main():
+    # optional config overrides for A/B runs: bench.py field=value ...
+    overrides = {}
+    for pair in sys.argv[1:]:
+        key, _, raw = pair.partition("=")
+        try:
+            overrides[key] = json.loads(raw)
+        except ValueError:
+            overrides[key] = raw
+    bench_nb = overrides.pop("bench_nb", 32)
+    wait_for_device()
+    # one-time tunnel warm-up (first d2h is slow on axon)
+    _ = jax.device_get(jnp.zeros(()))
+    bench_static(dict(overrides))
+    bench_temporal(dict(overrides, bench_nb=bench_nb))
 
 
 if __name__ == "__main__":

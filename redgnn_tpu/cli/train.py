@@ -108,10 +108,11 @@ def main(argv=None):
                         "edge-parallel slices per shard (static models "
                         "only). Example: --mesh 4x2 on 8 chips.")
     p.add_argument("--distributed", action="store_true",
-                   help="initialize jax.distributed for multi-host runs "
-                        "(coordinator/process env: JAX_COORDINATOR_ADDRESS,"
-                        " JAX_NUM_PROCESSES, JAX_PROCESS_ID); a no-op "
-                        "single-process, so safe to pass unconditionally")
+                   help="initialize jax.distributed for multi-host runs: "
+                        "explicit coordinator env (JAX_COORDINATOR_ADDRESS,"
+                        " JAX_NUM_PROCESSES, JAX_PROCESS_ID) when set, "
+                        "else pod-metadata auto-detect; warns and runs "
+                        "single-process when neither is available")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a jax backend (the axon tunnel plugin "
                         "overrides JAX_PLATFORMS, so --platform cpu is the "

@@ -28,15 +28,16 @@ class FrontierCaps:
     node_caps: Tuple[int, ...]
     edge_caps: Tuple[int, ...]
 
-    def grown(self, hop: int, grow_nodes: bool, grow_edges: bool,
-              factor: float = 1.5) -> "FrontierCaps":
-        nc = list(self.node_caps)
-        ec = list(self.edge_caps)
-        if grow_nodes:
-            nc[hop + 1] = _round_up(int(nc[hop + 1] * factor))
-        if grow_edges:
-            ec[hop] = _round_up(int(ec[hop] * factor))
-        return FrontierCaps(tuple(nc), tuple(ec))
+    def covers(self, other: "FrontierCaps") -> bool:
+        return all(a >= b for a, b in zip(self.node_caps, other.node_caps)) \
+            and all(a >= b for a, b in zip(self.edge_caps, other.edge_caps))
+
+    def union(self, other: "FrontierCaps") -> "FrontierCaps":
+        return FrontierCaps(
+            tuple(max(a, b) for a, b in zip(self.node_caps,
+                                            other.node_caps)),
+            tuple(max(a, b) for a, b in zip(self.edge_caps,
+                                            other.edge_caps)))
 
 
 def simulate_hops(
@@ -122,6 +123,114 @@ def simulate_hops_windowed(
         keys = np.unique(np.concatenate([tails, keys]))  # self-loops keep nodes
         node_counts.append(len(keys))
     return node_counts, edge_counts
+
+
+def per_query_counts(
+    rowptr: np.ndarray,
+    tail: np.ndarray,
+    n_ent: int,
+    heads: np.ndarray,
+    n_layer: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact per-query frontier counts: (n, n_layer+1) nodes, (n, n_layer)
+    edges.
+
+    Composite batch keys (b*n_ent + ent) never collide across batch
+    elements, so ANY batch's frontier counts are exactly the sum of its
+    queries' rows — this is what makes permutation-exact capacity
+    calibration possible (`caps_for_batches`). Counts depend only on the
+    query head, so unique heads are walked once and broadcast back.
+    """
+    from redgnn_tpu import native
+
+    heads = np.asarray(heads, np.int64)
+    uniq, inv = np.unique(heads, return_inverse=True)
+    res = native.per_query_hop_counts(rowptr, tail, n_ent, uniq, n_layer)
+    if res is None:
+        ncs, ecs = [], []
+        for h in uniq:
+            nc, ec = simulate_hops(rowptr, tail, n_ent,
+                                   np.asarray([h], np.int64), n_layer)
+            ncs.append(nc)
+            ecs.append(ec)
+        res = np.asarray(ncs, np.int64), np.asarray(ecs, np.int64)
+    nc_u, ec_u = res
+    return nc_u[inv], ec_u[inv]
+
+
+def per_query_counts_windowed(
+    ekey: np.ndarray,
+    tail: np.ndarray,
+    n_ent: int,
+    key_base: int,
+    heads: np.ndarray,
+    times: np.ndarray,
+    window: int,
+    n_layer: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Windowed (extrapolation) variant of `per_query_counts`; counts
+    depend on (head, time), deduped accordingly."""
+    from redgnn_tpu import native
+
+    heads = np.asarray(heads, np.int64)
+    times = np.asarray(times, np.int64)
+    t_span = int(times.max()) + 1 if len(times) else 1
+    pair = heads * t_span + times
+    uniq, inv = np.unique(pair, return_inverse=True)
+    u_heads, u_times = uniq // t_span, uniq % t_span
+    res = native.per_query_hop_counts_windowed(
+        ekey, tail, n_ent, key_base, u_heads, u_times, window, n_layer)
+    if res is None:
+        ncs, ecs = [], []
+        for h, t in zip(u_heads, u_times):
+            nc, ec = simulate_hops_windowed(
+                ekey, tail, n_ent, key_base, np.asarray([h], np.int64),
+                np.asarray([t], np.int64), window, n_layer)
+            ncs.append(nc)
+            ecs.append(ec)
+        res = np.asarray(ncs, np.int64), np.asarray(ecs, np.int64)
+    nc_u, ec_u = res
+    return nc_u[inv], ec_u[inv]
+
+
+def caps_for_batches(node_pq: np.ndarray, edge_pq: np.ndarray,
+                     batch_size: int, slack: int = 8) -> FrontierCaps:
+    """EXACT caps covering every contiguous batch of the given per-query
+    count rows (row order = the actual epoch batch order). With these caps
+    a frontier overflow is structurally impossible for this epoch — no
+    sampling headroom, no replay (the round-2 failure mode where an
+    overflow at step 3072/4552 discarded the whole epoch)."""
+    n = len(node_pq)
+    nb = max(-(-n // batch_size), 1)
+    pad = nb * batch_size - n
+    npad = np.concatenate(
+        [node_pq, np.zeros((pad, node_pq.shape[1]), np.int64)])
+    epad = np.concatenate(
+        [edge_pq, np.zeros((pad, edge_pq.shape[1]), np.int64)])
+    nmax = npad.reshape(nb, batch_size, -1).sum(1).max(0)
+    emax = epad.reshape(nb, batch_size, -1).sum(1).max(0)
+    node_caps = [batch_size] + [_round_up(int(c) + slack) for c in nmax[1:]]
+    edge_caps = [_round_up(int(c) + slack) for c in emax]
+    return FrontierCaps(tuple(node_caps), tuple(edge_caps))
+
+
+def caps_upper_bound(node_pq: np.ndarray, edge_pq: np.ndarray,
+                     batch_size: int, slack: int = 8) -> FrontierCaps:
+    """Permutation-INDEPENDENT exact upper bound: sum of the top-b
+    per-query counts. Valid for any shuffle of the split (never needs a
+    recompile across epochs), at the cost of looser padding than
+    `caps_for_batches`."""
+
+    def topb(a):
+        k = min(batch_size, len(a))
+        s = np.partition(a, len(a) - k, axis=0)[len(a) - k:]
+        return s.sum(0)
+
+    nmax = topb(node_pq)
+    emax = topb(edge_pq)
+    node_caps = [batch_size] + [_round_up(int(c) + slack) for c in nmax[1:]]
+    edge_caps = [_round_up(int(c) + slack) for c in emax]
+    return FrontierCaps(tuple(node_caps), tuple(edge_caps))
 
 
 def _calibrate(sim_fn, queries, batch_size, n_ent, n_layer,

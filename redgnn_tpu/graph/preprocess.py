@@ -17,7 +17,10 @@ def augment_with_inverses(src_dir: str, dst_dir: str,
     """Write `<dst>/f` = lowercased originals + (t, ~r, h, time) inverses.
 
     ``wikidata_format`` handles the 5-column wikidata11k TSV
-    (`preprocess.py:27-45`) where column 4 is the 'since' marker.
+    (`preprocess.py:27-45`) where column 4 is the 'since' marker; in that
+    mode the output contains ONLY the since-folded rewrites + their
+    inverses — the raw originals are dropped, matching the reference
+    (whose `result.writelines(lines)` is commented out).
     """
     os.makedirs(dst_dir, exist_ok=True)
     for fname in files:

@@ -27,6 +27,21 @@ per-query topk. Here every DP step works on fixed-capacity padded arrays:
 
 Loss is BCE on the per-entity attention mass vs the one-hot answer with
 the reference's (0.999x + 0.0009) squash (`model.py:545-570`).
+
+KNOWN SAMPLING-SEMANTICS DRIFT vs the reference (deliberate re-designs
+for fixed shapes; pending validation by a trained accuracy number):
+
+  * 'weighted': the reference exponentially weights by the neighbor's
+    raw TIMESTAMP delta (`utils.py:461-476`, weights
+    ``factor ** (ts / max_ts)`` over the in-window list); here recency
+    weighting draws exponentially distributed OFFSETS from the window end
+    (same monotone recency bias, different tail shape).
+  * 'whole': the reference returns ALL historical neighbors (ragged,
+    unbounded, `utils.py:478-490`); the fixed-K design truncates to the
+    oldest K unless callers size ``dp_num_edges`` to the max in-window
+    degree (see the `sampling` field note below).
+  * 'first'/'last'/'uniform' match the reference semantics exactly
+    (first-K / last-K by time order, uniform without replacement).
 """
 
 from __future__ import annotations

@@ -105,6 +105,98 @@ int simulate_hops(const int32_t* rowptr, const int32_t* tail, int64_t n_ent,
   return 0;
 }
 
+// Per-query exact frontier walk: node/edge counts per hop for EACH query
+// independently. Composite batch keys (b * n_ent + ent) never collide
+// across batch elements, so a batch's frontier counts are EXACTLY the sum
+// of its queries' counts — the basis for the permutation-exact capacity
+// calibration in graph/calibrate.py (no sampling, no replay).
+// node_out: (n_heads, n_layer+1) row-major; edge_out: (n_heads, n_layer).
+int per_query_hop_counts(const int32_t* rowptr, const int32_t* tail,
+                         int64_t n_ent, const int64_t* heads,
+                         int64_t n_heads, int64_t n_layer,
+                         int64_t* node_out, int64_t* edge_out) {
+  std::vector<int64_t> stamp(n_ent, -1);
+  std::vector<int32_t> frontier, next;
+  int64_t tick = 0;
+  for (int64_t q = 0; q < n_heads; ++q) {
+    int64_t h = heads[q];
+    if (h < 0 || h >= n_ent) return 1;
+    frontier.assign(1, static_cast<int32_t>(h));
+    node_out[q * (n_layer + 1)] = 1;
+    for (int64_t hop = 0; hop < n_layer; ++hop) {
+      ++tick;
+      int64_t ecnt = 0;
+      next.clear();
+      for (int32_t e : frontier) {
+        ecnt += rowptr[e + 1] - rowptr[e];
+        for (int32_t s = rowptr[e]; s < rowptr[e + 1]; ++s) {
+          int32_t t = tail[s];
+          if (stamp[t] != tick) {
+            stamp[t] = tick;
+            next.push_back(t);
+          }
+        }
+      }
+      edge_out[q * n_layer + hop] = ecnt;
+      node_out[q * (n_layer + 1) + hop + 1] =
+          static_cast<int64_t>(next.size());
+      frontier.swap(next);
+    }
+  }
+  return 0;
+}
+
+// Windowed variant (extrapolation): same contract; the +1 self-loop per
+// frontier node and the node-keeping semantics mirror
+// simulate_hops_windowed exactly.
+int per_query_hop_counts_windowed(
+    const int32_t* ekey, const int32_t* tail, int64_t n_edges,
+    int64_t n_ent, int64_t key_base, const int64_t* heads,
+    const int64_t* times, int64_t n_heads, int64_t window, int64_t n_layer,
+    int64_t* node_out, int64_t* edge_out) {
+  std::vector<int64_t> stamp(n_ent, -1);
+  std::vector<int32_t> frontier, next;
+  const int32_t* ekey_end = ekey + n_edges;
+  int64_t tick = 0;
+  for (int64_t q = 0; q < n_heads; ++q) {
+    int64_t h = heads[q], tq = times[q];
+    if (h < 0 || h >= n_ent) return 1;
+    int64_t lo_t = std::max<int64_t>(tq - window, 0);
+    frontier.assign(1, static_cast<int32_t>(h));
+    node_out[q * (n_layer + 1)] = 1;
+    for (int64_t hop = 0; hop < n_layer; ++hop) {
+      ++tick;
+      int64_t ecnt = 0;
+      next.clear();
+      for (int32_t e : frontier) {
+        const int32_t* lo = std::lower_bound(
+            ekey, ekey_end,
+            static_cast<int32_t>(static_cast<int64_t>(e) * key_base + lo_t));
+        const int32_t* hi = std::lower_bound(
+            ekey, ekey_end,
+            static_cast<int32_t>(static_cast<int64_t>(e) * key_base + tq));
+        ecnt += (hi - lo) + 1;  // +1 self-loop
+        if (stamp[e] != tick) {
+          stamp[e] = tick;
+          next.push_back(e);  // self-loop keeps the node
+        }
+        for (const int32_t* p = lo; p != hi; ++p) {
+          int32_t t = tail[p - ekey];
+          if (stamp[t] != tick) {
+            stamp[t] = tick;
+            next.push_back(t);
+          }
+        }
+      }
+      edge_out[q * n_layer + hop] = ecnt;
+      node_out[q * (n_layer + 1) + hop + 1] =
+          static_cast<int64_t>(next.size());
+      frontier.swap(next);
+    }
+  }
+  return 0;
+}
+
 // Time-windowed walk (extrapolation): per-node in-window edges found by
 // binary search on the composite (head * key_base + time) sorted keys;
 // +1 self-loop per node keeps it in the frontier.

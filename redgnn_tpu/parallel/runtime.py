@@ -27,6 +27,9 @@ def initialize_distributed(
     """
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
+    pod_env = any(os.environ.get(k) for k in (
+        "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+        "CLOUD_TPU_TASK_ID"))
     if coordinator_address:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -35,12 +38,27 @@ def initialize_distributed(
             process_id=process_id if process_id is not None else int(
                 os.environ.get("JAX_PROCESS_ID", "0")),
         )
-    return {
+    elif pod_env:
+        # real multi-host TPU pod: argless initialize() auto-detects the
+        # coordinator from the pod metadata (without this the flag would
+        # silently no-op and each host would train independently)
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # single-process despite pod-ish env
+            print("warning: jax.distributed.initialize() auto-detect "
+                  f"failed ({e}); continuing single-process")
+    info = {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
         "local_devices": len(jax.local_devices()),
         "global_devices": len(jax.devices()),
     }
+    if info["process_count"] == 1 and not coordinator_address \
+            and not pod_env:
+        print("warning: --distributed requested but no coordinator "
+              "environment found (JAX_COORDINATOR_ADDRESS or TPU pod "
+              "metadata); running single-process")
+    return info
 
 
 def default_mesh_shape(n_devices: int, prefer_edge: int = 2):

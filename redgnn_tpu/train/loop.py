@@ -82,15 +82,18 @@ class StaticTrainer:
         ``mesh`` (axes 'data'[, 'edge']) runs the train step through
         `parallel/shard.py.make_dp_loss_fn`: queries shard over 'data',
         the per-hop edge math optionally slices over 'edge', loss psums
-        over ICI. Eval stays replicated (it is a small fraction of epoch
-        time and the eval graph differs per split)."""
+        over ICI. Eval shards the same way (per-batch shard_map inside the
+        eval scan, metric sums psum'd) — at WN18RR/YAGO scale with L=5
+        eval is a large fraction of epoch time, so it must scale with the
+        mesh too."""
         self.kg = kg
         self.cfg = cfg
         self.mesh = mesh
         self.n_data = int(mesh.shape["data"]) if mesh is not None else 1
-        if cfg.n_batch % self.n_data:
-            raise ValueError(f"n_batch ({cfg.n_batch}) must divide the "
-                             f"mesh data axis ({self.n_data})")
+        if cfg.n_batch % self.n_data or cfg.n_tbatch % self.n_data:
+            raise ValueError(f"n_batch/n_tbatch ({cfg.n_batch}/"
+                             f"{cfg.n_tbatch}) must divide the mesh data "
+                             f"axis ({self.n_data})")
         self.model_cfg = ModelConfig(
             n_ent=kg.n_ent, n_rel=kg.n_rel, hidden_dim=cfg.hidden_dim,
             attn_dim=cfg.attn_dim, n_layer=cfg.n_layer, dropout=cfg.dropout,
@@ -154,15 +157,35 @@ class StaticTrainer:
         shared — no model parameter depends on the entity count). Labels
         and filters arrive as padded index lists and are expanded to
         one-hot rows on device inside the scan, so the whole split is one
-        dispatch."""
+        dispatch. Under a mesh, each scanned batch runs through shard_map:
+        queries shard over 'data' (and the hop math over 'edge'), metric
+        sums psum back to replicated globals — the eval mirror of
+        `parallel/shard.py.make_dp_loss_fn`."""
         if n_ent not in self._eval_steps:
             import dataclasses
 
-            model = RedGNN(dataclasses.replace(self.model_cfg, n_ent=n_ent))
+            if self.mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
 
-            def eval_scan(params, graph, subs_all, rels_all, ans_all,
-                          fil_all, qmask_all, caps: FrontierCaps):
-                b = subs_all.shape[1]
+                n_edge = int(self.mesh.shape.get("edge", 1))
+                model = RedGNN(dataclasses.replace(
+                    self.model_cfg, n_ent=n_ent,
+                    edge_axis="edge" if n_edge > 1 else None,
+                    edge_shards=n_edge,
+                    # custom-VJP replication can't be vma-inferred inside
+                    # shard_map (same constraint as make_dp_loss_fn)
+                    mxu_gather_backward=False,
+                    scan_src_backward=False,
+                ))
+            else:
+                n_edge = 1
+                model = RedGNN(
+                    dataclasses.replace(self.model_cfg, n_ent=n_ent))
+
+            def batch_sums(params, graph, subs, rels, ans, fil, qmask,
+                           caps: FrontierCaps):
+                b = subs.shape[0]
                 rows = jnp.arange(b)
 
                 def one_hot_from(idx):  # (b, M) padded with n_ent
@@ -171,18 +194,49 @@ class StaticTrainer:
                         rows[:, None], jnp.minimum(idx, n_ent)
                     ].set(jnp.where(idx < n_ent, 1.0, 0.0), mode="drop")
 
+                labels = one_hot_from(ans) * qmask[:, None]
+                filters = one_hot_from(fil)
+                scores, aux = model.apply(
+                    {"params": params}, graph, subs, rels, qmask,
+                    caps, False,
+                )
+                sums = rank_metric_sums(scores, labels, filters)
+                overflow = (jnp.any(aux["edge_overflow"])
+                            | jnp.any(aux["node_overflow"]))
+                if self.mesh is not None:
+                    sums = {k: jax.lax.psum(v, "data")
+                            for k, v in sums.items()}
+                    overflow = jax.lax.pmax(
+                        overflow.astype(jnp.int32), "data")
+                    if n_edge > 1:
+                        # replicated across 'edge': collapse the identical
+                        # copies so replication is provable
+                        sums = {k: jax.lax.pmean(v, "edge")
+                                for k, v in sums.items()}
+                        overflow = jax.lax.pmax(overflow, "edge")
+                    overflow = overflow > 0
+                return sums, overflow
+
+            def eval_scan(params, graph, subs_all, rels_all, ans_all,
+                          fil_all, qmask_all, caps: FrontierCaps):
+                if self.mesh is not None:
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    d = P("data")
+                    fn = shard_map(
+                        lambda p, g, s, r, a, f, q: batch_sums(
+                            p, g, s, r, a, f, q, caps),
+                        mesh=self.mesh,
+                        in_specs=(P(), P(), d, d, d, d, d),
+                        out_specs=(P(), P()))
+                else:
+                    fn = lambda p, g, s, r, a, f, q: batch_sums(
+                        p, g, s, r, a, f, q, caps)
+
                 def body(carry, batch):
                     sums_acc, overflow_any = carry
-                    subs, rels, ans, fil, qmask = batch
-                    labels = one_hot_from(ans) * qmask[:, None]
-                    filters = one_hot_from(fil)
-                    scores, aux = model.apply(
-                        {"params": params}, graph, subs, rels, qmask,
-                        caps, False,
-                    )
-                    sums = rank_metric_sums(scores, labels, filters)
-                    overflow = (jnp.any(aux["edge_overflow"])
-                                | jnp.any(aux["node_overflow"]))
+                    sums, overflow = fn(params, graph, *batch)
                     sums_acc = {k: sums_acc[k] + v for k, v in sums.items()}
                     return (sums_acc, overflow_any | overflow), None
 
@@ -289,10 +343,11 @@ class StaticTrainer:
 
         Host-sync discipline for the TPU tunnel: the loop enqueues every
         batch without fetching anything; losses and overflow flags are
-        device scalars collected asynchronously and materialized ONCE at
-        epoch end. If any frontier bucket overflowed, the whole epoch is
-        replayed from the epoch-start parameter snapshot with exactly
-        recalibrated capacities (rare; geometric-growth bound).
+        device scalars collected asynchronously and materialized once per
+        chunk. If a frontier bucket overflows, only the failing CHUNK is
+        rolled back and replayed with exactly recalibrated capacities —
+        completed steps keep their parameter progress (the temporal
+        trainer's round-3 overflow economics).
         """
         kg, cfg = self.kg, self.cfg
         t0 = time.time()
@@ -309,45 +364,45 @@ class StaticTrainer:
         objs_all = padded[:, 2].reshape(nb, b)
         qm_all = qmask_all.reshape(nb, b)
 
-        snap = (self.params, self.opt_state, self.rng)
-        for attempt in range(3):
-            total_loss = 0.0
-            overflow_seen = False
-            # bounded-duration dispatches: one giant scan would run minutes
-            # on-device in a single execution, which the TPU worker (and
-            # the axon tunnel watchdog in particular) does not survive
-            c = cfg.scan_chunk
-            device_phase = self.timer.phase("train", "device")
-            device_phase.__enter__()
-            for start in range(0, nb, c):
-                sl = slice(start, min(start + c, nb))
-                self.rng, epoch_rng = jax.random.split(self.rng)
-                params, opt_state, loss_sum, overflow = (
-                    self._train_epoch_scan(
-                        self.params, self.opt_state, kg.graph,
-                        jnp.asarray(subs_all[sl], jnp.int32),
-                        jnp.asarray(rels_all[sl], jnp.int32),
-                        jnp.asarray(objs_all[sl], jnp.int32),
-                        jnp.asarray(qm_all[sl]), epoch_rng,
-                        self.train_caps,
-                    )
+        total_loss = 0.0
+        # bounded-duration dispatches: one giant scan would run minutes
+        # on-device in a single execution, which the TPU worker (and
+        # the axon tunnel watchdog in particular) does not survive
+        c = cfg.scan_chunk
+        device_phase = self.timer.phase("train", "device")
+        device_phase.__enter__()
+        start, retries = 0, 0
+        while start < nb:
+            sl = slice(start, min(start + c, nb))
+            chunk_snap = (self.params, self.opt_state, self.rng)
+            self.rng, epoch_rng = jax.random.split(self.rng)
+            params, opt_state, loss_sum, overflow = (
+                self._train_epoch_scan(
+                    self.params, self.opt_state, kg.graph,
+                    jnp.asarray(subs_all[sl], jnp.int32),
+                    jnp.asarray(rels_all[sl], jnp.int32),
+                    jnp.asarray(objs_all[sl], jnp.int32),
+                    jnp.asarray(qm_all[sl]), epoch_rng,
+                    self.train_caps,
                 )
-                self.params, self.opt_state = params, opt_state
-                if bool(overflow):
-                    overflow_seen = True
-                    break
-                total_loss += float(loss_sum)
-            device_phase.__exit__(None, None, None)
-            if not overflow_seen:
-                break
-            # replay epoch from snapshot with exact capacities
-            self.params, self.opt_state, self.rng = snap
-            self.train_caps = self._recalibrate_exact(
-                self.train_caps, kg.graph_np, data,
-                cfg.n_batch // self.n_data
             )
-        else:
-            raise RuntimeError("frontier caps failed to stabilize")
+            if bool(overflow):
+                if retries >= 3:
+                    raise RuntimeError("frontier caps failed to stabilize")
+                retries += 1
+                # roll back and retry JUST this chunk with caps that
+                # exactly cover the rest of the epoch
+                self.params, self.opt_state, self.rng = chunk_snap
+                self.train_caps = self._recalibrate_exact(
+                    self.train_caps, kg.graph_np, data[sl.start * b:],
+                    cfg.n_batch // self.n_data
+                )
+                continue
+            retries = 0
+            self.params, self.opt_state = params, opt_state
+            total_loss += float(loss_sum)
+            start += c
+        device_phase.__exit__(None, None, None)
         self.t_train += time.time() - t0
         return total_loss
 
@@ -360,9 +415,10 @@ class StaticTrainer:
             rowptr, _, tail = spec.graph_np
             heads = (spec.queries[:, 0] if len(spec.queries)
                      else np.zeros(1, np.int64))
+            # per-shard caps under a mesh (each chip expands b/n_data)
             self.eval_caps[split] = calibrate_caps(
-                rowptr, tail, spec.n_ent, heads, b, cfg.n_layer,
-                headroom=cfg.cap_headroom,
+                rowptr, tail, spec.n_ent, heads, b // self.n_data,
+                cfg.n_layer, headroom=cfg.cap_headroom,
             )
         queries, answers = spec.queries, spec.answers
         nq = len(queries)
@@ -409,8 +465,8 @@ class StaticTrainer:
             if not overflow_seen:
                 return combine_metric_sums(partials)
             self.eval_caps[split] = self._recalibrate_exact(
-                self.eval_caps[split], spec.graph_np, queries, b,
-                n_ent=spec.n_ent,
+                self.eval_caps[split], spec.graph_np, queries,
+                b // self.n_data, n_ent=spec.n_ent,
             )
         raise RuntimeError("eval frontier caps failed to stabilize")
 

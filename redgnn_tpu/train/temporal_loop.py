@@ -31,8 +31,9 @@ import optax
 from redgnn_tpu.graph.calibrate import (
     FrontierCaps,
     _round_up,
-    calibrate_caps,
-    calibrate_caps_windowed,
+    caps_for_batches,
+    per_query_counts,
+    per_query_counts_windowed,
     simulate_hops,
     simulate_hops_windowed,
 )
@@ -430,33 +431,107 @@ class TemporalTrainer:
             self.ckpt_dir,
             f"caps_{split}_b{b}_h{cfg.cap_headroom}_L{cfg.n_layer}.json")
 
-    def _get_caps(self, split: str, data: np.ndarray, b: int) -> FrontierCaps:
-        if split not in self.caps:
-            # calibration walks are minutes of host time on large splits;
-            # the flaky tunneled worker forces frequent process restarts,
-            # so persist caps next to the checkpoints and reload
+    def _pq_entity_table(self):
+        """Per-ENTITY exact hop counts (all n_ent heads), computed once.
+
+        Interpolation frontiers depend only on the query head, so one
+        table serves every split and every epoch permutation. Persisted
+        next to the checkpoints: elastic restarts skip the ~15 s walk."""
+        if getattr(self, "_pq_table", None) is not None:
+            return self._pq_table
+        cfg, kg = self.cfg, self.kg
+        path = None
+        if self.ckpt_dir:
+            path = os.path.join(self.ckpt_dir,
+                                f"pq_ent_L{cfg.n_layer}.npz")
+            if os.path.exists(path):
+                z = np.load(path)
+                if len(z["nodes"]) == kg.n_ent:
+                    self._pq_table = (z["nodes"], z["edges"])
+                    return self._pq_table
+        nc, ec = per_query_counts(
+            kg.graph_np[0], kg.graph_np[2], kg.n_ent,
+            np.arange(kg.n_ent, dtype=np.int64), cfg.n_layer)
+        self._pq_table = (nc, ec)
+        if path:
+            np.savez(path, nodes=nc, edges=ec)
+        return self._pq_table
+
+    def _split_pq_windowed(self, split: str):
+        """Windowed per-query counts aligned with kg.splits[split] rows."""
+        cache = getattr(self, "_pq_split", None)
+        if cache is None:
+            cache = self._pq_split = {}
+        if split in cache:
+            return cache[split]
+        cfg, kg = self.cfg, self.kg
+        data = kg.splits[split]
+        path = None
+        if self.ckpt_dir:
+            path = os.path.join(
+                self.ckpt_dir,
+                f"pq_{split}_L{cfg.n_layer}_w{cfg.window}.npz")
+            if os.path.exists(path):
+                z = np.load(path)
+                if len(z["nodes"]) == len(data):
+                    cache[split] = (z["nodes"], z["edges"])
+                    return cache[split]
+        nc, ec = per_query_counts_windowed(
+            kg.ekey_np, kg.graph_np[2], kg.n_ent, kg.time_key_base,
+            data[:, 0], data[:, 3], cfg.window, cfg.n_layer)
+        cache[split] = (nc, ec)
+        if path:
+            np.savez(path, nodes=nc, edges=ec)
+        return cache[split]
+
+    def _pq_for(self, data: np.ndarray, base_split: str,
+                order: Optional[np.ndarray] = None):
+        """Per-query count rows aligned with ``data`` (the actual batch
+        order: permuted for train, split order for eval)."""
+        cfg = self.cfg
+        if cfg.mode == "extrapolation" and cfg.window is not None:
+            nc, ec = self._split_pq_windowed(base_split)
+            if order is not None:
+                return nc[order], ec[order]
+            return nc[: len(data)], ec[: len(data)]
+        nc_t, ec_t = self._pq_entity_table()
+        heads = np.asarray(data[:, 0], np.int64)
+        return nc_t[heads], ec_t[heads]
+
+    def _get_caps(self, split: str, data: np.ndarray, b: int,
+                  order: Optional[np.ndarray] = None) -> FrontierCaps:
+        """EXACT caps for the given batch order (grow-only across calls).
+
+        Round 2's sampled calibration (6 random batches + 1.2x headroom)
+        under-covered the ICEWS14_TeMP tail; the resulting mid-epoch
+        overflow + whole-epoch replay ate the round's TPU window. Per-query
+        exact counts (`graph/calibrate.py:per_query_counts`) make the caps
+        a certificate: overflow is structurally impossible for the batches
+        they were computed over. Caps only ever grow (union), so compile
+        keys stay stable across epochs/restarts; persisted JSON seeds the
+        floor (keeping round-2 programs warm in the XLA compile cache)."""
+        cur = self.caps.get(split)
+        if cur is None:
             path = self._caps_cache_path(split, b)
             if path and os.path.exists(path):
                 import json as _json
 
                 with open(path) as f:
                     d = _json.load(f)
-                self.caps[split] = FrontierCaps(
-                    tuple(d["node_caps"]), tuple(d["edge_caps"]))
-                return self.caps[split]
-            cfg, kg = self.cfg, self.kg
-            if cfg.mode == "extrapolation" and cfg.window is not None:
-                self.caps[split] = calibrate_caps_windowed(
-                    kg.ekey_np, kg.graph_np[2], kg.n_ent, kg.time_key_base,
-                    data[:, 0], data[:, 3], cfg.window, b, cfg.n_layer,
-                    headroom=cfg.cap_headroom,
-                )
-            else:
-                self.caps[split] = calibrate_caps(
-                    kg.graph_np[0], kg.graph_np[2], kg.n_ent, data[:, 0],
-                    b, cfg.n_layer, headroom=cfg.cap_headroom,
-                )
+                cur = FrontierCaps(tuple(d["node_caps"]),
+                                   tuple(d["edge_caps"]))
+        base = split.split("_", 1)[1] if split.startswith(
+            ("eval_", "attn_")) else split
+        nc, ec = self._pq_for(data, base, order)
+        needed = caps_for_batches(nc, ec, b)
+        if cur is None:
+            self.caps[split] = needed
             self._persist_caps(split, b)
+        elif not cur.covers(needed):
+            self.caps[split] = cur.union(needed)
+            self._persist_caps(split, b)
+        else:
+            self.caps[split] = cur
         return self.caps[split]
 
     def _persist_caps(self, split: str, b: int) -> None:
@@ -505,8 +580,8 @@ class TemporalTrainer:
         # graph row = train-file row for interpolation-style graphs
         rows = kg.exclusion_slots(order) if cfg.mode == "interpolation" \
             else None
-        caps = self._get_caps("train", data,
-                               self._cap_b(cfg.batch_size))
+        caps = self._get_caps("train", data, self._cap_b(cfg.batch_size),
+                              order=order)
         b = cfg.batch_size
         nb = -(-len(data) // b)
         pad = nb * b - len(data)
@@ -524,55 +599,61 @@ class TemporalTrainer:
         qm = qmask.reshape(nb, b)
 
         stage_phase.__exit__(None, None, None)
-        snap = (self.params, self.opt_state, self.rng)
-        for attempt in range(3):
-            total = 0.0
-            overflow_seen = False
-            # bounded-duration dispatches (axon watchdog; see loop.py)
-            device_phase = self.timer.phase("train", "device")
-            device_phase.__enter__()
-            for start in range(0, nb, cfg.scan_chunk):
-                sl = slice(start, min(start + cfg.scan_chunk, nb))
-                xs = tuple(jnp.asarray(c[sl], jnp.int32) for c in cols[:3]) \
-                    + (jnp.asarray(cols[3][sl], jnp.int32),
-                       jnp.asarray(qm[sl]))
-                excl_a = (jnp.asarray(excl_np[sl], jnp.int32)
-                          if excl_np is not None else None)
-                self.rng, epoch_rng = jax.random.split(self.rng)
-                params, opt_state, loss_sum, overflow = (
-                    self._train_epoch_scan(self.params, self.opt_state,
-                                           self._kgarrs, *xs, excl_a,
-                                           epoch_rng, caps))
-                self.params, self.opt_state = params, opt_state
-                if bool(overflow):
-                    overflow_seen = True
-                    break
-                total += float(loss_sum)
-                # intra-epoch progress anchor: the tunneled worker can die
-                # mid-epoch; resuming replays this epoch with the already-
-                # progressed weights rather than losing them
-                if self.ckpt_dir and (start // cfg.scan_chunk) % 8 == 7:
-                    from redgnn_tpu.utils.checkpoint import save_latest
+        total = 0.0
+        # bounded-duration dispatches (axon watchdog; see loop.py)
+        device_phase = self.timer.phase("train", "device")
+        device_phase.__enter__()
+        start, retries = 0, 0
+        while start < nb:
+            sl = slice(start, min(start + cfg.scan_chunk, nb))
+            # chunk snapshot: if the overflow safety net fires, roll back
+            # and retry JUST this chunk — completed steps stay (round 2's
+            # whole-epoch replay discarded 3072 valid steps; with exact
+            # caps this path should never trigger at all)
+            chunk_snap = (self.params, self.opt_state, self.rng)
+            xs = tuple(jnp.asarray(c[sl], jnp.int32) for c in cols[:3]) \
+                + (jnp.asarray(cols[3][sl], jnp.int32),
+                   jnp.asarray(qm[sl]))
+            excl_a = (jnp.asarray(excl_np[sl], jnp.int32)
+                      if excl_np is not None else None)
+            self.rng, epoch_rng = jax.random.split(self.rng)
+            params, opt_state, loss_sum, overflow = (
+                self._train_epoch_scan(self.params, self.opt_state,
+                                       self._kgarrs, *xs, excl_a,
+                                       epoch_rng, caps))
+            if bool(overflow):
+                if retries >= 3:
+                    raise RuntimeError(
+                        "temporal train caps failed to stabilize")
+                retries += 1
+                self.params, self.opt_state, self.rng = chunk_snap
+                self._recalibrate_exact(
+                    "train", data[sl.start * b: sl.stop * b],
+                    self._cap_b(b))
+                caps = self.caps["train"]
+                print(f"  epoch {epoch}: overflow in chunk at step {start}"
+                      f" — grew caps, retrying chunk (kept {start} steps)",
+                      flush=True)
+                continue
+            retries = 0
+            self.params, self.opt_state = params, opt_state
+            total += float(loss_sum)
+            # intra-epoch progress anchor: the tunneled worker can die
+            # mid-epoch; resuming replays this epoch with the already-
+            # progressed weights rather than losing them
+            if self.ckpt_dir and (start // cfg.scan_chunk) % 8 == 7:
+                from redgnn_tpu.utils.checkpoint import save_latest
 
-                    save_latest(self.ckpt_dir, self.state(), epoch, -1.0,
-                                host=self.host_state())
-                    done = min(start + cfg.scan_chunk, nb)
-                    rate = done * cfg.batch_size / max(
-                        time.time() - t0, 1e-9)
-                    print(f"  epoch {epoch}: {done}/{nb} steps, "
-                          f"loss_sum {total:.2f}, {rate:.1f} q/s",
-                          flush=True)
-            device_phase.__exit__(None, None, None)
-            if not overflow_seen:
-                break
-            print(f"  epoch {epoch}: frontier caps overflowed, "
-                  "recalibrating + replaying", flush=True)
-            self.params, self.opt_state, self.rng = snap
-            self._recalibrate_exact("train", data,
-                                    self._cap_b(cfg.batch_size))
-            caps = self.caps["train"]
-        else:
-            raise RuntimeError("temporal train caps failed to stabilize")
+                save_latest(self.ckpt_dir, self.state(), epoch, -1.0,
+                            host=self.host_state())
+                done = min(start + cfg.scan_chunk, nb)
+                rate = done * cfg.batch_size / max(
+                    time.time() - t0, 1e-9)
+                print(f"  epoch {epoch}: {done}/{nb} steps, "
+                      f"loss_sum {total:.2f}, {rate:.1f} q/s",
+                      flush=True)
+            start += cfg.scan_chunk
+        device_phase.__exit__(None, None, None)
         self.t_train += time.time() - t0
         return total
 

@@ -161,10 +161,17 @@ _TEMPORAL = {
     # bs32 matches the reference recipe directly (`main.py:40-52`) —
     # affordable since round-2's dense-mode hops (125 q/s train / 318 q/s
     # eval on the v5e vs round-1's 20.7 q/s at bs8 x accum4).
+    # dense_switch 0.2 (not the 0.25 default): the EXACT hop-1 edge caps
+    # sit at 0.98-1.04x the 0.25*b*|E| threshold across epoch permutations
+    # and eval splits — at 0.25 the hop-1 dense/sparse decision would
+    # flip per split/permutation (sparse hop-1 at ~1.25M padded slots is
+    # the slow path AND what overflowed in round 2); 0.2 pins hops 1-3
+    # dense everywhere.
     "ICEWS14_TeMP": TemporalTrainConfig(
         batch_size=32, grad_accum_steps=1, lr=1e-2, patience=3, epochs=20,
         weight_decay=1e-2, hidden_dim=20, attn_dim=30, n_layer=4,
         dropout=0.1, act="leakyrelu", eval_batch_size=32, scan_chunk=32,
+        dense_switch=0.2,
     ),
     # `Temporal/extrapolation/main.py:111-155,202-209`
     # The reference's reproduction command trains with batch_size **2**

@@ -192,6 +192,52 @@ def test_static_trainer_mesh_matches_single_device(tmp_path, rng):
         single.params, sharded.params)
 
 
+def test_static_eval_sharded_matches_single_device(tmp_path, rng):
+    """Static eval under the mesh (round-3: eval must scale with the mesh
+    too — at WN18RR scale eval is a large fraction of epoch time): the
+    shard_map'ed per-batch eval with psum'd metric sums reproduces the
+    single-device filtered metrics exactly."""
+    from test_train_loop import write_kg
+    from redgnn_tpu.graph.kg import StaticKG
+    from redgnn_tpu.train.loop import StaticTrainer
+
+    kg1 = StaticKG.load(str(write_kg(tmp_path, rng)))
+    kg2 = StaticKG.load(str(tmp_path))
+    cfg = TrainConfig(hidden_dim=16, attn_dim=5, n_layer=2, dropout=0.0,
+                      lr=0.01, lamb=1e-5, n_batch=16, n_tbatch=16, epochs=1)
+    single = StaticTrainer(kg1, cfg)
+    sharded = StaticTrainer(kg2, cfg, mesh=make_mesh(8, 1))
+    # identical params so eval is directly comparable
+    sharded.params = jax.tree_util.tree_map(lambda x: x, single.params)
+    for split in ("valid", "test"):
+        m1 = single.evaluate(split)
+        m2 = sharded.evaluate(split)
+        for k in ("mrr", "h1", "h10", "count"):
+            if k in m1:
+                np.testing.assert_allclose(m1[k], m2[k], rtol=1e-5,
+                                           err_msg=f"{split}:{k}")
+
+
+def test_static_eval_sharded_edge_axis(tmp_path, rng):
+    """Same parity through a (4 data x 2 edge) mesh — the edge-sliced hop
+    math inside the eval shard_map."""
+    from test_train_loop import write_kg
+    from redgnn_tpu.graph.kg import StaticKG
+    from redgnn_tpu.train.loop import StaticTrainer
+
+    kg1 = StaticKG.load(str(write_kg(tmp_path, rng)))
+    kg2 = StaticKG.load(str(tmp_path))
+    cfg = TrainConfig(hidden_dim=16, attn_dim=5, n_layer=2, dropout=0.0,
+                      lr=0.01, lamb=1e-5, n_batch=16, n_tbatch=16, epochs=1)
+    single = StaticTrainer(kg1, cfg)
+    sharded = StaticTrainer(kg2, cfg, mesh=make_mesh(4, 2))
+    sharded.params = jax.tree_util.tree_map(lambda x: x, single.params)
+    m1 = single.evaluate("valid")
+    m2 = sharded.evaluate("valid")
+    for k in ("mrr", "h1", "h10"):
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-5)
+
+
 def test_temporal_dense_under_mesh(tmp_path, rng):
     """Dense-mode hops inside the shard_map data axis: sharded loss ==
     single device with dense forced on every hop."""

@@ -509,3 +509,44 @@ def test_neighbor_subgraph(tmp_path, rng):
     for parent, child in edges:
         assert parent in keys and child in keys
         assert child[2] < parent[2]     # strictly earlier than the parent
+
+
+def test_exact_caps_and_chunk_local_overflow_recovery(tmp_path, rng):
+    """Round-3 overflow economics: (a) exact per-query caps cover every
+    epoch batch (no overflow in normal operation); (b) if caps are forced
+    under-size, recovery rolls back and retries only the failing CHUNK —
+    completed steps keep their parameter progress (round 2 replayed the
+    whole epoch and lost 3072 steps)."""
+    import unittest.mock as mock
+
+    import redgnn_tpu.graph.calibrate as cal
+
+    kg = _make_kg(tmp_path, rng)
+    cfg = TemporalTrainConfig(hidden_dim=8, attn_dim=6, n_layer=2,
+                              dropout=0.0, lr=5e-3, batch_size=16,
+                              eval_batch_size=16, epochs=1, scan_chunk=2)
+    trainer = TemporalTrainer(kg, cfg)
+
+    # (a) exact caps: every contiguous batch of the permuted split fits
+    order = np.random.default_rng(0).permutation(len(kg.splits["train"]))
+    data = kg.splits["train"][order]
+    caps = trainer._get_caps("train", data, cfg.batch_size, order=order)
+    nc, ec = trainer._pq_for(data, "train", order)
+    need = cal.caps_for_batches(nc, ec, cfg.batch_size, slack=0)
+    assert caps.covers(need)
+    loss = trainer.train_epoch(0)
+    assert np.isfinite(loss)
+
+    # (b) force an undersized edge cap at hop 0 and verify the safety net
+    # grows caps and completes without an epoch-level replay
+    small = cal.FrontierCaps(caps.node_caps,
+                             (8,) + caps.edge_caps[1:])
+    trainer.caps["train"] = small
+    p_before = jax.tree_util.tree_leaves(trainer.params)[0].copy()
+    with mock.patch.object(trainer, "_get_caps", return_value=small):
+        loss2 = trainer.train_epoch(1)
+    assert np.isfinite(loss2)
+    # caps grew past the forced undersize
+    assert trainer.caps["train"].edge_caps[0] > 8
+    p_after = jax.tree_util.tree_leaves(trainer.params)[0]
+    assert not np.allclose(p_before, p_after)
