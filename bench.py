@@ -185,8 +185,17 @@ def bench_temporal(overrides):
     }), flush=True)
 
 
+def _fields_of(cls):
+    import dataclasses
+
+    return {f.name for f in dataclasses.fields(cls)}
+
+
 def main():
     # optional config overrides for A/B runs: bench.py field=value ...
+    # (keys are routed to whichever config dataclass actually has them)
+    from redgnn_tpu.utils.config import TemporalTrainConfig, TrainConfig
+
     overrides = {}
     for pair in sys.argv[1:]:
         key, _, raw = pair.partition("=")
@@ -195,11 +204,19 @@ def main():
         except ValueError:
             overrides[key] = raw
     bench_nb = overrides.pop("bench_nb", 32)
+    static_ov = {k: v for k, v in overrides.items()
+                 if k in _fields_of(TrainConfig)}
+    temporal_ov = {k: v for k, v in overrides.items()
+                   if k in _fields_of(TemporalTrainConfig)}
+    unknown = set(overrides) - set(static_ov) - set(temporal_ov)
+    if unknown:
+        print(f"warning: ignoring unknown override keys {sorted(unknown)}",
+              file=sys.stderr)
     wait_for_device()
     # one-time tunnel warm-up (first d2h is slow on axon)
     _ = jax.device_get(jnp.zeros(()))
-    bench_static(dict(overrides))
-    bench_temporal(dict(overrides, bench_nb=bench_nb))
+    bench_static(static_ov)
+    bench_temporal(dict(temporal_ov, bench_nb=bench_nb))
 
 
 if __name__ == "__main__":

@@ -147,13 +147,13 @@ def per_query_counts(
     uniq, inv = np.unique(heads, return_inverse=True)
     res = native.per_query_hop_counts(rowptr, tail, n_ent, uniq, n_layer)
     if res is None:
-        ncs, ecs = [], []
-        for h in uniq:
+        ncs = np.zeros((len(uniq), n_layer + 1), np.int64)
+        ecs = np.zeros((len(uniq), n_layer), np.int64)
+        for i, h in enumerate(uniq):
             nc, ec = simulate_hops(rowptr, tail, n_ent,
                                    np.asarray([h], np.int64), n_layer)
-            ncs.append(nc)
-            ecs.append(ec)
-        res = np.asarray(ncs, np.int64), np.asarray(ecs, np.int64)
+            ncs[i], ecs[i] = nc, ec
+        res = ncs, ecs
     nc_u, ec_u = res
     return nc_u[inv], ec_u[inv]
 
@@ -181,14 +181,14 @@ def per_query_counts_windowed(
     res = native.per_query_hop_counts_windowed(
         ekey, tail, n_ent, key_base, u_heads, u_times, window, n_layer)
     if res is None:
-        ncs, ecs = [], []
-        for h, t in zip(u_heads, u_times):
+        ncs = np.zeros((len(uniq), n_layer + 1), np.int64)
+        ecs = np.zeros((len(uniq), n_layer), np.int64)
+        for i, (h, t) in enumerate(zip(u_heads, u_times)):
             nc, ec = simulate_hops_windowed(
                 ekey, tail, n_ent, key_base, np.asarray([h], np.int64),
                 np.asarray([t], np.int64), window, n_layer)
-            ncs.append(nc)
-            ecs.append(ec)
-        res = np.asarray(ncs, np.int64), np.asarray(ecs, np.int64)
+            ncs[i], ecs[i] = nc, ec
+        res = ncs, ecs
     nc_u, ec_u = res
     return nc_u[inv], ec_u[inv]
 

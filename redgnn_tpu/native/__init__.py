@@ -48,8 +48,9 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     if not hasattr(lib, "per_query_hop_counts"):
         # stale .so from an older source revision: rebuild and reload
-        # (os.replace-free: _build overwrites the path; dlopen of the new
-        # inode returns a fresh handle)
+        # (_build compiles to a .tmp and os.replace's it, so the path gets
+        # a NEW inode and dlopen's (dev, inode) cache misses — an in-place
+        # overwrite would hand back this same stale handle)
         if not _build():
             return None
         try:

@@ -454,6 +454,7 @@ class TemporalTrainer:
             np.arange(kg.n_ent, dtype=np.int64), cfg.n_layer)
         self._pq_table = (nc, ec)
         if path:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
             np.savez(path, nodes=nc, edges=ec)
         return self._pq_table
 
@@ -481,6 +482,7 @@ class TemporalTrainer:
             data[:, 0], data[:, 3], cfg.window, cfg.n_layer)
         cache[split] = (nc, ec)
         if path:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
             np.savez(path, nodes=nc, edges=ec)
         return cache[split]
 

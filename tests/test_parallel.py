@@ -218,6 +218,29 @@ def test_static_eval_sharded_matches_single_device(tmp_path, rng):
                                            err_msg=f"{split}:{k}")
 
 
+def test_static_eval_n_tbatch_rounds_up_to_mesh(tmp_path, rng):
+    """Reference configs like WN18RR's n_tbatch=50 don't divide a 8-way
+    mesh: the trainer rounds the eval batch up (padding handles the rest)
+    instead of rejecting the config."""
+    from test_train_loop import write_kg
+    from redgnn_tpu.graph.kg import StaticKG
+    from redgnn_tpu.train.loop import StaticTrainer
+
+    kg1 = StaticKG.load(str(write_kg(tmp_path, rng)))
+    kg2 = StaticKG.load(str(tmp_path))
+    cfg = TrainConfig(hidden_dim=16, attn_dim=5, n_layer=2, dropout=0.0,
+                      lr=0.01, lamb=1e-5, n_batch=16, n_tbatch=13, epochs=1)
+    single = StaticTrainer(kg1, cfg)
+    sharded = StaticTrainer(kg2, cfg, mesh=make_mesh(8, 1))
+    assert sharded.n_tbatch == 16 and single.n_tbatch == 13
+    sharded.params = jax.tree_util.tree_map(lambda x: x, single.params)
+    m1 = single.evaluate("valid")
+    m2 = sharded.evaluate("valid")
+    for k in ("mrr", "h1", "h10", "count"):
+        if k in m1:
+            np.testing.assert_allclose(m1[k], m2[k], rtol=1e-5)
+
+
 def test_static_eval_sharded_edge_axis(tmp_path, rng):
     """Same parity through a (4 data x 2 edge) mesh — the edge-sliced hop
     math inside the eval shard_map."""
