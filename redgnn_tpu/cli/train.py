@@ -299,10 +299,19 @@ def main(argv=None):
         logger.close()
         return
 
+    def apply_lr_override():
+        # a restore brings back the checkpoint's lr (optimizer hyperparams
+        # + host sidecar); an EXPLICIT --set lr=... must win over both
+        if "lr" in (set(p.partition("=")[0] for p in args.set or [])) \
+                and hasattr(trainer, "force_lr"):
+            trainer.force_lr(cfg.lr)
+            print(f"lr override after restore: {cfg.lr}")
+
     start_epoch = 0
     if args.load_checkpoint:
         epoch = trainer.restore(args.load_checkpoint)
         print(f"restored checkpoint from epoch {epoch}")
+        apply_lr_override()
     elif args.resume_latest and args.ckpt_dir:
         from redgnn_tpu.utils.checkpoint import load_latest
 
@@ -320,6 +329,7 @@ def main(argv=None):
                 trainer.restore_host(
                     os.path.join(args.ckpt_dir, "latest.msgpack"))
             print(f"resuming from latest checkpoint at epoch {start_epoch}")
+            apply_lr_override()
 
     def dump_attention_stats():
         if not args.attention_stats:

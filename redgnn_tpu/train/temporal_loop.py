@@ -879,6 +879,19 @@ class TemporalTrainer:
             self.rng = jnp.asarray(np.asarray(host["jax_rng"],
                                               np.uint32))
 
+    def force_lr(self, lr: float) -> None:
+        """Override the live learning rate after a restore.
+
+        A checkpoint carries its lr twice (optimizer hyperparams + host
+        sidecar), so an explicit `--set lr=...` on a resumed run would
+        otherwise be silently ignored; this writes the override through
+        both (same mechanism as plateau_step, Adam moments preserved)."""
+        self._lr = float(lr)
+        state = self.opt_state
+        if hasattr(state, "inner_opt_state"):  # MultiSteps wrapper
+            state = state.inner_opt_state
+        state.hyperparams["learning_rate"] = jnp.asarray(self._lr)
+
     def _sync_lr_from_opt(self) -> None:
         state = self.opt_state
         if hasattr(state, "inner_opt_state"):  # MultiSteps wrapper
