@@ -202,26 +202,27 @@ class TemporalTrainer:
         use_excl = excl_a is not None
 
         def body(carry, batch):
-            params, opt_state, rng, loss_sum, ov = carry
+            params, opt_state, rng, loss_sum, ov, n_bad = carry
             if use_excl:
                 subs, rels, objs, times, qmask, excl = batch
             else:
                 subs, rels, objs, times, qmask = batch
                 excl = None
             rng, step_rng = jax.random.split(rng)
-            params, opt_state, loss, overflow = self._train_step_impl(
+            params, opt_state, loss, overflow, bad = self._train_step_impl(
                 params, opt_state, kgarrs, subs, rels, objs, times, qmask,
                 excl, step_rng, caps)
             return (params, opt_state, rng, loss_sum + loss,
-                    ov | overflow), None
+                    ov | overflow, n_bad + bad), None
 
         xs = (subs_a, rels_a, objs_a, times_a, qmask_a)
         if use_excl:
             xs = xs + (excl_a,)
-        init = (params, opt_state, rng, jnp.zeros(()), jnp.zeros((), bool))
-        (params, opt_state, rng, loss_sum, ov), _ = jax.lax.scan(
+        init = (params, opt_state, rng, jnp.zeros(()), jnp.zeros((), bool),
+                jnp.zeros((), jnp.int32))
+        (params, opt_state, rng, loss_sum, ov, n_bad), _ = jax.lax.scan(
             body, init, xs)
-        return params, opt_state, loss_sum, ov
+        return params, opt_state, loss_sum, ov, n_bad
 
     def _eval_scan_impl(self, params, kgarrs, subs_a, rels_a, objs_a,
                         times_a, qmask_a, caps: FrontierCaps):
@@ -311,10 +312,25 @@ class TemporalTrainer:
                 loss_fn, has_aux=True)(params)
             overflow = (jnp.any(aux["edge_overflow"])
                         | jnp.any(aux["node_overflow"]))
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        # Reject the whole update when the loss or any gradient is
+        # non-finite: one bad batch at lr 1e-2 otherwise writes NaN into
+        # params/Adam moments, and the reference-parity scrub below then
+        # replaces those entries with RANDOM values (`train.py:87-93`) —
+        # which is how round 3's first interpolation run lost ~0.2 MRR
+        # mid-epoch. Skipping the step keeps params, moments and the
+        # MultiSteps accumulator exactly as they were (no optax chain
+        # change, so existing checkpoints stay loadable).
+        finite = jnp.isfinite(loss)
+        for leaf in jax.tree_util.tree_leaves(grads):
+            finite &= jnp.all(jnp.isfinite(leaf))
+        updates, new_opt_state = self.tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        keep = lambda n, o: jnp.where(finite, n, o)
+        params = jax.tree_util.tree_map(keep, new_params, params)
+        opt_state = jax.tree_util.tree_map(keep, new_opt_state, opt_state)
+        loss = jnp.where(finite, loss, 0.0)
         params = _nan_scrub(params, scrub_rng)
-        return params, opt_state, loss, overflow
+        return params, opt_state, loss, overflow, ~finite
 
     def _shard_eval(self, local_fn, n_batch_args: int):
         """Wrap a local eval step: batch args shard over 'data', metric
@@ -619,10 +635,13 @@ class TemporalTrainer:
             excl_a = (jnp.asarray(excl_np[sl], jnp.int32)
                       if excl_np is not None else None)
             self.rng, epoch_rng = jax.random.split(self.rng)
-            params, opt_state, loss_sum, overflow = (
+            params, opt_state, loss_sum, overflow, n_bad = (
                 self._train_epoch_scan(self.params, self.opt_state,
                                        self._kgarrs, *xs, excl_a,
                                        epoch_rng, caps))
+            if int(n_bad):
+                print(f"  epoch {epoch}: {int(n_bad)} non-finite step(s) "
+                      f"rejected in chunk at {start}", flush=True)
             if bool(overflow):
                 if retries >= 3:
                     raise RuntimeError(

@@ -126,11 +126,11 @@ def test_temporal_dp_matches_single_device(tmp_path, rng):
     caps_m = sharded._get_caps("train", data, sharded._cap_b(b))
     assert caps_m.node_caps[0] == b // 8
 
-    p1, o1, loss1, ov1 = jax.jit(
+    p1, o1, loss1, ov1, _ = jax.jit(
         single._train_step_impl, static_argnames=("caps",))(
         single.params, single.opt_state, single._kgarrs, *args,
         rng_key, caps_s)
-    p2, o2, loss2, ov2 = jax.jit(
+    p2, o2, loss2, ov2, _ = jax.jit(
         sharded._train_step_impl, static_argnames=("caps",))(
         sharded.params, sharded.opt_state, sharded._kgarrs, *args,
         rng_key, caps_m)
@@ -287,11 +287,11 @@ def test_temporal_dense_under_mesh(tmp_path, rng):
     caps_s = single._get_caps("train", data, b)
     caps_m = sharded._get_caps("train", data, sharded._cap_b(b))
     k = jax.random.PRNGKey(5)
-    _, _, loss1, ov1 = jax.jit(single._train_step_impl,
-                               static_argnames=("caps",))(
+    _, _, loss1, ov1, _ = jax.jit(single._train_step_impl,
+                                  static_argnames=("caps",))(
         single.params, single.opt_state, single._kgarrs, *args, k, caps_s)
-    _, _, loss2, ov2 = jax.jit(sharded._train_step_impl,
-                               static_argnames=("caps",))(
+    _, _, loss2, ov2, _ = jax.jit(sharded._train_step_impl,
+                                  static_argnames=("caps",))(
         sharded.params, sharded.opt_state, sharded._kgarrs, *args, k,
         caps_m)
     assert not bool(ov1) and not bool(ov2)

@@ -212,6 +212,56 @@ def test_extrapolation_trainer_smoke(tmp_path, rng):
     assert m["fil_mrr"] >= m["raw_mrr"] - 1e-9
 
 
+def test_nonfinite_step_rejected(tmp_path, rng):
+    """A batch whose loss/grads are non-finite must leave params, Adam
+    moments and the step count untouched (round 3: a single bad batch at
+    lr 1e-2 once NaN'd params mid-epoch and the reference-parity random
+    scrub destroyed ~0.2 MRR of training progress)."""
+    import jax
+    import jax.numpy as jnp
+
+    kg = _make_kg(tmp_path, rng)
+    cfg = TemporalTrainConfig(hidden_dim=8, attn_dim=6, n_layer=2,
+                              dropout=0.0, lr=5e-3, batch_size=8,
+                              eval_batch_size=8, epochs=1)
+    trainer = TemporalTrainer(kg, cfg)
+    data = kg.splits["train"][:8]
+    rows = kg.exclusion_slots(np.arange(8))
+    args = (jnp.asarray(data[:, 0], jnp.int32),
+            jnp.asarray(data[:, 1], jnp.int32),
+            jnp.asarray(data[:, 2], jnp.int32),
+            jnp.asarray(data[:, 3], jnp.int32),
+            jnp.ones(8, bool), jnp.asarray(rows, jnp.int32))
+    caps = trainer._get_caps("train", data, 8)
+    step = jax.jit(trainer._train_step_impl, static_argnames=("caps",))
+
+    # healthy step: params move, nothing rejected
+    p1, o1, loss1, ov1, bad1 = step(trainer.params, trainer.opt_state,
+                                    trainer._kgarrs, *args,
+                                    jax.random.PRNGKey(0), caps)
+    assert not bool(bad1) and np.isfinite(float(loss1))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, trainer.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+    # poison the weights so the forward overflows: the step must be a no-op
+    poisoned = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 1e38), trainer.params)
+    p2, o2, loss2, ov2, bad2 = step(poisoned, trainer.opt_state,
+                                    trainer._kgarrs, *args,
+                                    jax.random.PRNGKey(0), caps)
+    assert bool(bad2)
+    assert float(loss2) == 0.0  # rejected steps report loss 0
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        p2, poisoned)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        o2, trainer.opt_state)
+
+
 import os as _os
 import pytest as _pytest
 
