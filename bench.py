@@ -165,14 +165,14 @@ def bench_temporal(overrides):
             trainer.params, trainer.opt_state, trainer._kgarrs,
             cols[0], cols[1], cols[2], cols[3], qm, excl, rng, caps)
 
-    p, o, loss_sum, overflow = run()
+    p, o, loss_sum, overflow, _ = run()
     jax.block_until_ready(loss_sum)
     assert not bool(overflow), "frontier caps overflowed during warmup"
 
     reps = 2
     t0 = time.time()
     for _ in range(reps):
-        p, o, loss_sum, overflow = run()
+        p, o, loss_sum, overflow, _ = run()
     jax.block_until_ready(loss_sum)
     elapsed = time.time() - t0
 

@@ -169,12 +169,12 @@ def temporal_scaling(args):
                     jnp.asarray(data[sl, 2], jnp.int32),
                     jnp.asarray(data[sl, 3], jnp.int32),
                     jnp.ones(b, bool), excl)
-        p_, o_, loss, ov = step(p_, o_, tr._kgarrs, *batch_args(0), k, caps)
+        p_, o_, loss, ov, _ = step(p_, o_, tr._kgarrs, *batch_args(0), k, caps)
         jax.block_until_ready(loss)
         t0 = time.time()
         for i in range(nsteps):
-            p_, o_, loss, ov = step(p_, o_, tr._kgarrs, *batch_args(i),
-                                    k, caps)
+            p_, o_, loss, ov, _ = step(p_, o_, tr._kgarrs, *batch_args(i),
+                                       k, caps)
         jax.block_until_ready(loss)
         qps = nsteps * b / (time.time() - t0)
         if base is None:
