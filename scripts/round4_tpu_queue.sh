@@ -1,8 +1,10 @@
 #!/usr/bin/env bash
-# Round-4 TPU delivery queue. Round 3 delivered WN18RR (test MRR ~0.50 by
-# epoch 4) and the corrected-recipe extrapolation + eval_splits; what's
-# left is the interpolation flagship (needs ~6.5 h: 20 epochs x ~19 min)
-# and the xERTE baseline. Legs bounded by ABSOLUTE unix deadlines.
+# Round-4 TPU delivery queue. Round 3 delivered WN18RR (test MRR 0.5226,
+# ep 13), extrapolation (test fil-MRR 0.5199, beats ref 0.449) +
+# eval_splits, and interpolation epochs 0-1 (test MRR 0.5761, anchor in
+# artifacts/r4seed_interp). Left: interpolation epochs 2-19 (~20
+# min/epoch cycle -> ~6 h worst case, less if the curve converges) and
+# the xERTE baseline. Legs bounded by ABSOLUTE unix deadlines.
 #
 #   leg 1  ICEWS14_TeMP interpolation (seeds /tmp/ckpt_r4i from
 #          artifacts/r4seed_interp/ if a banked anchor is committed)
