@@ -325,6 +325,12 @@ class TemporalTrainer:
             finite &= jnp.all(jnp.isfinite(leaf))
         updates, new_opt_state = self.tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        # Guard the *results* too: a finite-but-huge grad (|g| >~ 2e19 in
+        # fp32) squares to inf inside scale_by_adam and would poison the
+        # second-moment EMA forever without ever tripping the grad check.
+        for leaf in jax.tree_util.tree_leaves((updates, new_opt_state)):
+            if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact):
+                finite &= jnp.all(jnp.isfinite(leaf))
         keep = lambda n, o: jnp.where(finite, n, o)
         params = jax.tree_util.tree_map(keep, new_params, params)
         opt_state = jax.tree_util.tree_map(keep, new_opt_state, opt_state)
@@ -639,9 +645,6 @@ class TemporalTrainer:
                 self._train_epoch_scan(self.params, self.opt_state,
                                        self._kgarrs, *xs, excl_a,
                                        epoch_rng, caps))
-            if int(n_bad):
-                print(f"  epoch {epoch}: {int(n_bad)} non-finite step(s) "
-                      f"rejected in chunk at {start}", flush=True)
             if bool(overflow):
                 if retries >= 3:
                     raise RuntimeError(
@@ -657,6 +660,11 @@ class TemporalTrainer:
                       flush=True)
                 continue
             retries = 0
+            # print only for chunks that actually stuck (not ones the
+            # overflow safety net rolled back and retried)
+            if int(n_bad):
+                print(f"  epoch {epoch}: {int(n_bad)} non-finite step(s) "
+                      f"rejected in chunk at {start}", flush=True)
             self.params, self.opt_state = params, opt_state
             total += float(loss_sum)
             # intra-epoch progress anchor: the tunneled worker can die
