@@ -47,10 +47,60 @@ TEMPORAL_DATA_DIR = \
     "/root/reference/Temporal/interpolation/data/ICEWS14_TeMP"
 
 
+# Global wall budget. Round 3's driver bench timed out (BENCH_r03 rc=124)
+# because the temporal line's compiles + a post-kill tunnel warm-up
+# exceeded the driver's window; everything below is budgeted against
+# T_START so the static line (the driver's parsed metric) always comes
+# out first and the temporal line is best-effort.
+T_START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500.0))
+
+
+def _left() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+def _live_trainers() -> list:
+    import subprocess
+
+    out = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True,
+                         text=True).stdout
+    return [ln for ln in out.splitlines()
+            if "redgnn_tpu.cli.train" in ln and "grep" not in ln]
+
+
+def release_chip(max_wait_s: float = 360.0) -> None:
+    """Only one process can hold the tunneled v5e. If a queue leg from
+    this repo is still training (scripts/round4b_tpu_queue.sh etc.),
+    politely stop it via its supervisor's STOP-file contract and wait
+    for the trainer process to exit before touching the device."""
+    import glob
+
+    trainers = _live_trainers
+    if not trainers():
+        return
+    for d in glob.glob("/tmp/ckpt_*/"):
+        try:
+            open(os.path.join(d, "STOP"), "w").close()
+        except OSError:
+            pass
+    print("bench: live trainer holds the chip; STOP files touched, "
+          "waiting for exit", file=sys.stderr, flush=True)
+    deadline = time.time() + min(max_wait_s, max(_left() - 300, 60))
+    while trainers() and time.time() < deadline:
+        time.sleep(10)
+    if trainers():
+        print("bench: trainer still alive; proceeding anyway (may block)",
+              file=sys.stderr, flush=True)
+
+
 def wait_for_device(max_wait_s: float = 900.0) -> None:
     """The tunneled TPU worker takes ~15-20 min to heal after a crash;
-    poll with a trivial computation before committing to the benchmark."""
-    deadline = time.time() + max_wait_s
+    poll with a trivial computation before committing to the benchmark.
+    (On a cold machine the first probe BLOCKS ~20 min inside the runtime
+    upload rather than raising — that time is unavoidable; the budget
+    checks below simply skip the temporal line afterwards.)"""
+    deadline = time.time() + min(max_wait_s, max(_left() - 240, 60))
     while True:
         try:
             jnp.ones(2).sum().block_until_ready()
@@ -58,7 +108,7 @@ def wait_for_device(max_wait_s: float = 900.0) -> None:
         except Exception:
             if time.time() > deadline:
                 raise
-            time.sleep(30)
+            time.sleep(15)
 
 
 def bench_static(overrides):
@@ -126,11 +176,25 @@ def bench_static(overrides):
     elapsed = time.time() - t0
 
     edges_per_s = total_edges * reps / elapsed
+    # Roofline context: dominant per-edge model FLOPs are the two edgewise
+    # attention projections Ws(h_src), Wr(rela) (2*2*D*A fwd) x ~3 for
+    # fwd+bwd, plus the w_alpha head. The number is honest and tiny —
+    # message passing over padded frontiers is gather/scatter LATENCY
+    # bound on TPU (docs/PERF.md), not FLOP bound; MFU is reported so
+    # nobody mistakes edges/s for a compute-bound figure.
+    flops_per_edge = 3 * (4 * cfg.hidden_dim * cfg.attn_dim
+                          + 4 * cfg.attn_dim)
+    achieved_tflops = edges_per_s * flops_per_edge / 1e12
+    v5e_bf16_peak_tflops = 197.0
     print(json.dumps({
         "metric": "train_edges_per_sec_family_single_chip",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / PINNED_BASELINE_EDGES_PER_S, 4),
+        "est_model_tflops": round(achieved_tflops, 3),
+        "est_mfu_pct_of_v5e_bf16": round(
+            100 * achieved_tflops / v5e_bf16_peak_tflops, 3),
+        "wall_s": round(time.time() - T_START, 1),
     }), flush=True)
 
 
@@ -182,6 +246,7 @@ def bench_temporal(overrides):
         "value": round(qps, 2),
         "unit": "queries/s",
         "vs_baseline": round(qps / PINNED_BASELINE_INTERP_QPS, 4),
+        "wall_s": round(time.time() - T_START, 1),
     }), flush=True)
 
 
@@ -212,11 +277,28 @@ def main():
     if unknown:
         print(f"warning: ignoring unknown override keys {sorted(unknown)}",
               file=sys.stderr)
+    # persistent compile cache: the CLI always sets this (cli/train.py:131)
+    # but round <=3 bench runs recompiled from scratch every time — on this
+    # chip the two epoch-scan jits alone are minutes of remote compile.
+    cache_dir = os.environ.get("REDGNN_COMPILE_CACHE", "/tmp/redgnn_jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"warning: compile cache unavailable: {e}", file=sys.stderr)
+    release_chip()
     wait_for_device()
     # one-time tunnel warm-up (first d2h is slow on axon)
     _ = jax.device_get(jnp.zeros(()))
     bench_static(static_ov)
-    bench_temporal(dict(temporal_ov, bench_nb=bench_nb))
+    # the static line above is the driver's parsed metric; only spend on
+    # the temporal line if the budget clearly allows its compiles
+    if _left() > float(os.environ.get("BENCH_TEMPORAL_MIN_S", 300.0)):
+        bench_temporal(dict(temporal_ov, bench_nb=bench_nb))
+    else:
+        print(f"bench: skipping temporal line ({_left():.0f}s left "
+              f"< BENCH_TEMPORAL_MIN_S)", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -280,8 +280,26 @@ class StaticTrainer:
             overflow = (jnp.any(aux["edge_overflow"])
                         | jnp.any(aux["node_overflow"]))
             num_edges = aux["num_edges"]
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        # Reject the whole update when the loss, any gradient, or any
+        # resulting update/optimizer leaf is non-finite — same contract as
+        # TemporalTrainer._train_step_impl. Without this, one bad batch
+        # NaNs params AND Adam moments and the reference-parity scrub
+        # below then replaces entries with RANDOM values
+        # (`Static/transductive/train.py` nan-scrub) — silently corrupting
+        # long static runs. Checking updates too catches finite-but-huge
+        # grads that square to inf inside scale_by_adam.
+        finite = jnp.isfinite(loss)
+        for leaf in jax.tree_util.tree_leaves(grads):
+            finite &= jnp.all(jnp.isfinite(leaf))
+        updates, new_opt_state = self.tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        for leaf in jax.tree_util.tree_leaves((updates, new_opt_state)):
+            if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact):
+                finite &= jnp.all(jnp.isfinite(leaf))
+        keep = lambda n, o: jnp.where(finite, n, o)
+        params = jax.tree_util.tree_map(keep, new_params, params)
+        opt_state = jax.tree_util.tree_map(keep, new_opt_state, opt_state)
+        loss = jnp.where(finite, loss, 0.0)
         params = nan_scrub(params, scrub_rng)
         return params, opt_state, loss, overflow, num_edges
 

@@ -105,3 +105,48 @@ def test_vocab_blank_lines_and_dense_ids(tmp_path):
     dup.write_text("x\nx\n")
     with pytest.raises(ValueError):
         _read_vocab(str(dup))
+
+
+def test_static_nonfinite_step_rejected(tmp_path, rng):
+    """Static analogue of test_nonfinite_step_rejected: a batch whose
+    loss/grads are non-finite must leave params and Adam moments exactly
+    as they were (the reference-parity random nan-scrub must never see a
+    NaN'd tree)."""
+    import jax
+    import jax.numpy as jnp
+
+    kg = StaticKG.load(str(write_kg(tmp_path, rng)))
+    cfg = TrainConfig(hidden_dim=16, attn_dim=5, n_layer=2, dropout=0.0,
+                      lr=0.01, n_batch=8, n_tbatch=8)
+    trainer = StaticTrainer(kg, cfg)
+    data = kg.train_data[:8]
+    args = (jnp.asarray(data[:, 0], jnp.int32),
+            jnp.asarray(data[:, 1], jnp.int32),
+            jnp.asarray(data[:, 2], jnp.int32),
+            jnp.ones(8, bool))
+    step = jax.jit(trainer._train_step_impl, static_argnames=("caps",))
+
+    # healthy step: params move
+    p1, o1, loss1, ov1, _ = step(trainer.params, trainer.opt_state,
+                                 kg.graph, *args, jax.random.PRNGKey(0),
+                                 trainer.train_caps)
+    assert np.isfinite(float(loss1))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, trainer.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+    # poisoned weights -> non-finite forward -> the step must be a no-op
+    poisoned = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 1e38), trainer.params)
+    p2, o2, loss2, ov2, _ = step(poisoned, trainer.opt_state,
+                                 kg.graph, *args, jax.random.PRNGKey(0),
+                                 trainer.train_caps)
+    assert float(loss2) == 0.0
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        p2, poisoned)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        o2, trainer.opt_state)
