@@ -119,6 +119,11 @@ class TemporalTrainer:
             segment_impl=cfg.segment_impl,
             scan_src_backward=cfg.scan_src_backward,
             dense_hops=cfg.dense_hops, dense_switch=cfg.dense_switch,
+            use_time=cfg.use_time, use_attention=cfg.use_attention,
+            direction_transform=cfg.direction_transform,
+            time_embedding=cfg.time_embedding,
+            n_time=kg.n_time if cfg.time_embedding == "absolute" else None,
+            edge_dropout=cfg.edge_dropout,
         )
         self.model = TRedGNN(self.model_cfg)
         if mesh is not None:

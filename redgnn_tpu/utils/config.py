@@ -136,6 +136,13 @@ class TemporalTrainConfig:
     cap_headroom: float = 1.2
     scan_chunk: int = 16  # max steps per device dispatch; the tunneled
     # worker dies when a single execution runs much past ~1 minute
+    # ablations (`Temporal/interpolation/model_cuda_aba.py:14,189,353`) —
+    # CLI-reachable via --set, e.g. `--set use_time=false`
+    use_time: bool = True               # False => T_RED_GNN_wo_tau
+    use_attention: bool = True          # False => T_RED_GNN_wo_Attn
+    direction_transform: str = "linear"  # "bias" => T_RED_GNN_W
+    time_embedding: str = "periodic"     # "absolute" => per-timestamp table
+    edge_dropout: float = 0.0            # prototype's random edge drop
 
 
 _TEMPORAL = {
