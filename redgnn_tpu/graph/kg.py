@@ -248,11 +248,25 @@ class StaticKG:
                     filters[(t, r + n_rel)].add(h)
             return np.array(out, dtype=np.int64).reshape(-1, 3)
 
+        if os.path.exists(os.path.join(data_dir, "facts.txt")):
+            fact, train = read("facts.txt"), read("train.txt")
+        else:
+            # YAGO (and nell) ship train/valid/test only; the reference's
+            # own loader crashes on them (`load_data.py:32` opens
+            # facts.txt unconditionally) even though `README.md:25` lists
+            # the run command. Since the fact/train split is re-drawn 3:1
+            # every epoch anyway (`load_data.py:152-164`), derive the
+            # initial split the same way from train.txt, seeded for
+            # reproducibility.
+            pool = read("train.txt")
+            perm = np.random.default_rng(1234).permutation(len(pool))
+            cut = len(pool) * 3 // 4
+            fact, train = pool[perm[:cut]], pool[perm[cut:]]
         kg = cls(
             n_ent=n_ent,
             n_rel=n_rel,
-            fact=read("facts.txt"),
-            train=read("train.txt"),
+            fact=fact,
+            train=train,
             valid=read("valid.txt"),
             test=read("test.txt"),
             entity2id=entity2id,

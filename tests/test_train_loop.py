@@ -150,3 +150,29 @@ def test_static_nonfinite_step_rejected(tmp_path, rng):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         o2, trainer.opt_state)
+
+
+def test_load_without_facts_file(tmp_path, rng):
+    """YAGO/nell ship no facts.txt (the reference's own loader crashes on
+    them, `load_data.py:32`); StaticKG must derive the initial 3:1
+    fact/train split from train.txt, reproducibly."""
+    d = write_kg(tmp_path, rng)
+    all_train = np.loadtxt(d / "train.txt", dtype=str).tolist() \
+        + np.loadtxt(d / "facts.txt", dtype=str).tolist()
+    (d / "train.txt").write_text(
+        "\n".join("\t".join(t) for t in all_train) + "\n")
+    (d / "facts.txt").unlink()
+    kg = StaticKG.load(str(d))
+    n = len(all_train)
+    assert len(kg.fact) == n * 3 // 4
+    assert len(kg.fact) + len(kg.train) == n
+    # deterministic split
+    kg2 = StaticKG.load(str(d))
+    np.testing.assert_array_equal(kg.fact, kg2.fact)
+    # the usual machinery still works
+    cfg = TrainConfig(hidden_dim=8, attn_dim=5, n_layer=2, dropout=0.0,
+                      n_batch=8, n_tbatch=8)
+    trainer = StaticTrainer(kg, cfg)
+    trainer.train_epoch(0)
+    m = trainer.evaluate("valid")
+    assert 0.0 <= m["mrr"] <= 1.0
