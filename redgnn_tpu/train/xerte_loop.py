@@ -63,6 +63,7 @@ class XErteTrainer:
         self._kgarrs = (kg.graph.rowptr, kg.graph.rel, kg.graph.tail,
                         kg.ekey)
         self._step_counter = 0
+        self._ckpt_dir: Optional[str] = None
         self.history: List[Dict[str, Any]] = []
         self._jit_steps()
 
@@ -135,7 +136,8 @@ class XErteTrainer:
         for _attempt in range(6):
             snap = (self.params, self.opt_state, self._step_counter)
             losses, overflows = [], []
-            for batch, qmask in self._batches(data, self.batch_size):
+            for bi, (batch, qmask) in enumerate(
+                    self._batches(data, self.batch_size)):
                 self._step_counter += 1
                 self.params, self.opt_state, loss, ov = self._train_step(
                     self.params, self.opt_state, self._kgarrs,
@@ -147,6 +149,15 @@ class XErteTrainer:
                 )
                 losses.append(loss)
                 overflows.append(ov)
+                # intra-epoch progress anchor (same contract as
+                # temporal_loop): the tunneled worker can die mid-epoch;
+                # resuming replays this epoch with the progressed weights
+                # instead of losing them
+                if self._ckpt_dir and bi % 128 == 127:
+                    from redgnn_tpu.utils.checkpoint import save_latest
+
+                    save_latest(self._ckpt_dir, self.state(), epoch, -1.0,
+                                host=self.host_state())
             if not any(jax.device_get(overflows)):
                 return float(np.sum(jax.device_get(losses)))
             self.params, self.opt_state, self._step_counter = snap
@@ -272,6 +283,7 @@ class XErteTrainer:
         from redgnn_tpu.utils.checkpoint import save_latest
 
         epochs = epochs or self.epochs
+        self._ckpt_dir = ckpt_dir
         best: Dict[str, Any] = {"valid_mrr": -1.0}
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
