@@ -27,8 +27,14 @@ for f in "$RESULTS"/*_metrics.jsonl "$RESULTS"/*_perf.txt; do
   [ -e "$f" ] && cp -v "$f" "$DEST/"
 done
 if [ -n "$LOG" ] && [ -e "$LOG" ]; then
-  # keep logs lean: config echo + epoch/eval/BEST lines only
-  grep -Ev "^  epoch [0-9]+: [0-9]+/" "$LOG" > "$DEST/run.log" || cp "$LOG" "$DEST/run.log"
+  # keep logs lean: config echo + epoch/eval/BEST lines, plus the LAST
+  # intra-epoch progress line per epoch (it carries the epoch's
+  # cumulative q/s — the committed evidence for throughput claims)
+  awk '
+    /^  epoch [0-9]+: [0-9]+\// { last[$2] = $0; next }
+    { for (k in last) { print last[k]; delete last[k] }; print }
+    END { for (k in last) print last[k] }
+  ' "$LOG" > "$DEST/run.log" || cp "$LOG" "$DEST/run.log"
 fi
 # caps certificates document the exact shapes the run compiled with
 for f in "$CKPT"/caps_*.json; do
