@@ -14,7 +14,10 @@ OUT=/tmp/r4_induct
 mkdir -p "$OUT"
 note() { echo "[tpufill] $(date -u +%H:%M:%S) $*"; }
 for split in $SPLITS; do
-  tag="${split}_s1234"
+  # "name" or "name:seed" (default seed 1234)
+  seed=${split#*:}; [ "$seed" = "$split" ] && seed=1234
+  split=${split%%:*}
+  tag="${split}_s${seed}"
   LEFT=$(( T - $(date +%s) ))
   [ "$LEFT" -le 300 ] && { note "deadline; stop"; break; }
   [ -f "$OUT/$tag.done" ] && { note "$tag done/claimed; skip"; continue; }
@@ -28,7 +31,7 @@ for split in $SPLITS; do
       --task inductive \
       --data_path "/root/reference/Static/inductive/data/$split" \
       --results_dir "$OUT/$tag" --sqlite /tmp/experiments.sqlite \
-      --set seed=1234 \
+      --set seed="$seed" \
       > "$OUT/$tag.log" 2>&1
   rc=$?
   note "done $tag rc=$rc"
