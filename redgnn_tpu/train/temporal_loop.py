@@ -901,6 +901,15 @@ class TemporalTrainer:
             self._sync_lr_from_opt()
             return
         self._lr = float(host["lr"])
+        # The sidecar is AUTHORITATIVE for the live lr: write it through
+        # to the device optimizer's inject_hyperparams state. The
+        # restored opt_state carries its own lr copy; normally the two
+        # match, but an operator-edited sidecar (the supported manual
+        # recovery path — see CLAUDE.md round-4 notes) or a
+        # checkpoint/sidecar pairing mismatch would otherwise train at
+        # the OPT-STATE lr while logging the sidecar's (round 4: three
+        # epochs silently ran at 1e-2 while printing lr 1.00e-03).
+        self.force_lr(self._lr)
         self._plateau_best = float(host["plateau_best"])
         self._plateau_bad = int(host["plateau_bad"])
         try:

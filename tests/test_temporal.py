@@ -600,3 +600,37 @@ def test_exact_caps_and_chunk_local_overflow_recovery(tmp_path, rng):
     assert trainer.caps["train"].edge_caps[0] > 8
     p_after = jax.tree_util.tree_leaves(trainer.params)[0]
     assert not np.allclose(p_before, p_after)
+
+
+def test_restore_host_sidecar_lr_is_authoritative(tmp_path, rng):
+    """An operator-edited sidecar lr must reach the DEVICE optimizer on
+    restore, not just the host mirror (round 4: a manual lr cut was
+    silently ignored — opt_state carried its own lr copy and training
+    continued at the old rate while logging the new one)."""
+    import json as _json
+
+    from redgnn_tpu.utils.checkpoint import load_latest, save_latest
+
+    kg = _make_kg(tmp_path, rng)
+    cfg = TemporalTrainConfig(hidden_dim=8, attn_dim=6, n_layer=2,
+                              dropout=0.0, lr=1e-2, batch_size=8,
+                              eval_batch_size=8, epochs=1)
+    trainer = TemporalTrainer(kg, cfg)
+    ckpt = tmp_path / "ckpt"
+    save_latest(str(ckpt), trainer.state(), 0, -1.0,
+                host=trainer.host_state())
+    side = ckpt / "latest.msgpack.host.json"
+    h = _json.loads(side.read_text())
+    assert h["lr"] == 1e-2
+    h["lr"] = 1e-3
+    side.write_text(_json.dumps(h))
+
+    t2 = TemporalTrainer(kg, cfg)
+    state, _, _ = load_latest(str(ckpt), t2.state())
+    t2.params, t2.opt_state = state["params"], state["opt_state"]
+    t2.restore_host(str(ckpt / "latest.msgpack"))
+    assert t2._lr == 1e-3
+    opt = t2.opt_state
+    if hasattr(opt, "inner_opt_state"):
+        opt = opt.inner_opt_state
+    assert abs(float(opt.hyperparams["learning_rate"]) - 1e-3) < 1e-9
