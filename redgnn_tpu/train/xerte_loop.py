@@ -291,16 +291,20 @@ class XErteTrainer:
             vm = self.evaluate("valid")
             row = {"epoch": epoch, "loss": loss, "time": time.time() - t0,
                    **{f"valid_{k}": v for k, v in vm.items()}}
-            if logger is not None:
-                logger.log_scalars(epoch, {k: v for k, v in row.items()
-                                           if isinstance(v, (int, float))},
-                                   tag="eval")
             if vm["mrr"] > best["valid_mrr"]:
                 tm = self.evaluate("test")
                 row.update({f"test_{k}": v for k, v in tm.items()})
                 best = dict(row, valid_mrr=vm["mrr"])
                 if ckpt_dir:
                     self.save(ckpt_dir, epoch, vm["mrr"])
+            # log AFTER the best/test update so best-epoch rows carry
+            # their test metrics in the JSONL (they used to exist only
+            # in the end-of-run BEST line, which a deadline-stopped run
+            # never prints)
+            if logger is not None:
+                logger.log_scalars(epoch, {k: v for k, v in row.items()
+                                           if isinstance(v, (int, float))},
+                                   tag="eval")
             self.history.append(row)
             if ckpt_dir:
                 save_latest(ckpt_dir, self.state(), epoch + 1, vm["mrr"],
