@@ -66,7 +66,8 @@ def _live_trainers() -> list:
     out = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True,
                          text=True).stdout
     return [ln for ln in out.splitlines()
-            if "redgnn_tpu.cli.train" in ln and "grep" not in ln]
+            if "redgnn_tpu.cli.train" in ln and "grep" not in ln
+            and "--platform cpu" not in ln]  # CPU runs don't hold the chip
 
 
 def release_chip(max_wait_s: float = 360.0) -> None:
