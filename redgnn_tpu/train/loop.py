@@ -340,21 +340,29 @@ class StaticTrainer:
 
     def _recalibrate_exact(self, caps: FrontierCaps, graph_np, data, b,
                            n_ent=None) -> FrontierCaps:
-        """Grow caps to exactly cover every batch of this epoch (host CSR walk)."""
-        from redgnn_tpu.graph.calibrate import simulate_hops, _round_up
+        """Grow caps to exactly cover every batch of this epoch.
+
+        ONE batched host walk over the unique query heads (native
+        `per_query_hop_counts`, seconds even at YAGO's 123k-entity /
+        44.6k-head scale) + a vectorized max over per-batch sums
+        (`caps_for_batches`) — replaces the per-batch Python loop of
+        `simulate_hops` calls that burned the round-4 YAGO TPU window
+        (22,480 sequential walks at n_batch=3). Per-query counts sum
+        exactly to batch counts because frontier keys are composited as
+        b*n_ent+ent (see calibrate.per_query_counts); batch layout here
+        (contiguous chunks of b, zero-padded tail) matches
+        `_iter_batches` / `train_epoch`'s reshape.
+        """
+        from redgnn_tpu.graph.calibrate import (caps_for_batches,
+                                                per_query_counts)
 
         n_ent = n_ent or self.kg.n_ent
         rowptr, _, tail = graph_np
-        node_caps = list(caps.node_caps)
-        edge_caps = list(caps.edge_caps)
-        for batch, qmask in self._iter_batches(data, b):
-            nc, ec = simulate_hops(rowptr, tail, n_ent,
-                                   batch[:, 0][qmask], self.cfg.n_layer)
-            for i in range(self.cfg.n_layer):
-                node_caps[i + 1] = max(node_caps[i + 1],
-                                       _round_up(nc[i + 1] + 8))
-                edge_caps[i] = max(edge_caps[i], _round_up(ec[i] + 8))
-        return FrontierCaps(tuple(node_caps), tuple(edge_caps))
+        nc, ec = per_query_counts(rowptr, tail, n_ent,
+                                  np.asarray(data[:, 0], np.int64),
+                                  self.cfg.n_layer)
+        need = caps_for_batches(nc, ec, b)
+        return caps.union(need)
 
     def train_epoch(self, epoch: int) -> float:
         """One pass over the (doubled) training triples.
@@ -381,6 +389,14 @@ class StaticTrainer:
         rels_all = padded[:, 1].reshape(nb, b)
         objs_all = padded[:, 2].reshape(nb, b)
         qm_all = qmask_all.reshape(nb, b)
+
+        # exact caps UPFRONT (temporal-trainer design): one batched host
+        # walk per epoch makes frontier overflow structurally impossible
+        # for this split/order; grow-only union, so a recompile happens
+        # only when a fresh resplit genuinely exceeds every prior epoch.
+        # The overflow chunk-retry below stays as a safety net only.
+        self.train_caps = self._recalibrate_exact(
+            self.train_caps, kg.graph_np, data, b // self.n_data)
 
         total_loss = 0.0
         # bounded-duration dispatches: one giant scan would run minutes
