@@ -226,7 +226,7 @@ def main(argv=None):
             # (lr 1e-3, batch 128) unless explicitly --set (detected from
             # the --set key list itself, not by value comparison)
             kwargs = {}
-            for field in ("lr", "batch_size"):
+            for field in ("lr", "batch_size", "grad_clip"):
                 if field in explicit_keys:
                     kwargs[field] = getattr(cfg, field)
             trainer = XErteTrainer(kg, xcfg, seed=cfg.seed,

@@ -33,6 +33,7 @@ from redgnn_tpu.ops.ranking import frontier_rank_metric_sums
 class XErteTrainer:
     def __init__(self, kg: TemporalKG, cfg: XErteConfig,
                  lr: float = 1e-3, batch_size: int = 128,
+                 grad_clip: float = 1.0,
                  grad_accum_steps: int = 1, seed: int = 1,
                  epochs: int = 20, max_train_batches=None,
                  max_eval_batches=None):
@@ -54,7 +55,15 @@ class XErteTrainer:
             jnp.zeros(b, jnp.int32), jnp.zeros(b, jnp.int32),
             jnp.ones(b, jnp.int32), jnp.ones(b, bool), jnp.int32(0),
         )["params"]
-        tx = optax.adam(lr)
+        # reference parity: xERTE's trainer clips grad global-norm to 1.0
+        # (`Temporal/extrapolation/train.py:243`) — missing in round 4 and
+        # the likely cause of the post-best divergence (test fil-MRR 0.41
+        # at ep2 -> 0.11 by ep9).
+        if grad_clip is not None and np.isfinite(grad_clip):
+            tx = optax.chain(optax.clip_by_global_norm(grad_clip),
+                             optax.adam(lr))
+        else:
+            tx = optax.adam(lr)
         if grad_accum_steps > 1:
             tx = optax.MultiSteps(tx, grad_accum_steps)
         self.tx = tx
