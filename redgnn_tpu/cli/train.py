@@ -190,7 +190,18 @@ def main(argv=None):
         from redgnn_tpu.graph.temporal import TemporalKG
         from redgnn_tpu.train.temporal_loop import TemporalTrainer
 
-        cfg = dataset_config("temporal", dataset)
+        # extrapolation dirs named after the plain dataset (e.g.
+        # `Temporal/extrapolation/data/YAGO`) resolve to the
+        # `<name>_forecasting` registry entry — otherwise the lookup
+        # silently falls back to interpolation defaults (granularity 24).
+        from redgnn_tpu.utils.config import DATASET_CONFIGS
+
+        cfg_key = dataset
+        if (args.task == "extrapolation"
+                and cfg_key not in DATASET_CONFIGS["temporal"]
+                and f"{cfg_key}_forecasting" in DATASET_CONFIGS["temporal"]):
+            cfg_key = f"{cfg_key}_forecasting"
+        cfg = dataset_config("temporal", cfg_key)
         if args.task == "extrapolation" and cfg.mode != "extrapolation":
             cfg = dataclasses.replace(cfg, mode="extrapolation", window=120)
         if args.seed is not None:

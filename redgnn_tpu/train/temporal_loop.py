@@ -162,7 +162,8 @@ class TemporalTrainer:
                     optax.scale_by_adam(),
                     optax.scale_by_learning_rate(learning_rate),
                 )
-            if cfg.grad_clip is not None and np.isfinite(cfg.grad_clip):
+            if (cfg.grad_clip is not None and np.isfinite(cfg.grad_clip)
+                    and cfg.grad_clip > 0):
                 return optax.chain(
                     optax.clip_by_global_norm(cfg.grad_clip), core)
             return core

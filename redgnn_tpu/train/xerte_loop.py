@@ -59,7 +59,9 @@ class XErteTrainer:
         # (`Temporal/extrapolation/train.py:243`) — missing in round 4 and
         # the likely cause of the post-best divergence (test fil-MRR 0.41
         # at ep2 -> 0.11 by ep9).
-        if grad_clip is not None and np.isfinite(grad_clip):
+        # non-positive values disable clipping (clip_by_global_norm(0.0)
+        # would silently zero every gradient and freeze training)
+        if grad_clip is not None and np.isfinite(grad_clip) and grad_clip > 0:
             tx = optax.chain(optax.clip_by_global_norm(grad_clip),
                              optax.adam(lr))
         else:
