@@ -187,6 +187,19 @@ def bench_static(overrides):
                           + 4 * cfg.attn_dim)
     achieved_tflops = edges_per_s * flops_per_edge / 1e12
     v5e_bf16_peak_tflops = 197.0
+    # Achievable ceiling for THIS workload: the step is gather/scatter
+    # latency bound, not FLOP bound, so the honest roofline is the
+    # latency model, not MFU. Census of unavoidable per-padded-edge-slot
+    # latency ops in the bitmap-mode hop (docs/PERF.md "Remaining latency
+    # ops"): presence scatter, uid gather, eattr row gather, forward
+    # segment-sum scatter, backward gather = 5 ops, each measured at
+    # ~7 ns/elem best case on this v5e (scalar-gather microbench,
+    # docs/PERF.md table). Floor = 35 ns per padded slot; the reported
+    # pct is measured-vs-floor on the SAME padded-slot denominator, so
+    # it is meaningful even though edges/s counts true edges only.
+    padded_slots = reps * nb * sum(trainer.train_caps.edge_caps)
+    ns_per_slot = elapsed * 1e9 / padded_slots
+    latency_floor_ns = 5 * 7.0
     print(json.dumps({
         "metric": "train_edges_per_sec_family_single_chip",
         "value": round(edges_per_s, 1),
@@ -195,6 +208,9 @@ def bench_static(overrides):
         "est_model_tflops": round(achieved_tflops, 3),
         "est_mfu_pct_of_v5e_bf16": round(
             100 * achieved_tflops / v5e_bf16_peak_tflops, 3),
+        "ns_per_padded_edge_slot": round(ns_per_slot, 1),
+        "latency_model_floor_ns_per_slot": latency_floor_ns,
+        "pct_of_latency_ceiling": round(100 * latency_floor_ns / ns_per_slot, 1),
         "wall_s": round(time.time() - T_START, 1),
     }), flush=True)
 
