@@ -553,7 +553,8 @@ class StaticTrainer:
             # the sidecar rng was saved BEFORE the resplit that produced
             # start_epoch's split; replay that one resplit so the resumed
             # run trains on the exact same facts/train partition sequence
-            self.kg.resplit(self._np_rng)
+            if self.cfg.shuffle_train:
+                self.kg.resplit(self._np_rng)
         for epoch in range(start_epoch, epochs):
             loss = self.train_epoch(epoch)
             row: Dict[str, Any] = {"epoch": epoch, "loss": loss}
@@ -590,5 +591,6 @@ class StaticTrainer:
                 save_latest(ckpt_dir, self.state(), epoch + 1,
                             row.get("valid_mrr", -1.0),
                             host=self.host_state())
-            self.kg.resplit(self._np_rng)
+            if self.cfg.shuffle_train:
+                self.kg.resplit(self._np_rng)
         return best

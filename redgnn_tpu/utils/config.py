@@ -28,6 +28,13 @@ class TrainConfig:
     n_tbatch: int = 50         # eval batch size
     epochs: int = 50
     seed: int = 1234
+    # Per-epoch train-query reshuffle (transductive also re-splits
+    # facts/queries 3:1). The reference's INDUCTIVE trainer never calls
+    # `shuffle_train` (defined at `load_data.py:166` but unused by
+    # `base_model.py`), i.e. it trains in file order with each query
+    # adjacent to its inverse; set False to reproduce that exactly
+    # (nell_v4 order-sensitivity A/B, round 5).
+    shuffle_train: bool = True
     # TPU-specific
     segment_impl: str = "xla"
     compute_dtype: str = "float32"  # "bfloat16" for bandwidth-bound graphs
