@@ -49,3 +49,23 @@ def test_inductive_train_and_eval(kg):
         assert m["h1"] <= m["h10"]
     # the two splits ran on different graphs with different entity counts
     assert set(trainer._eval_steps.keys()) == {1594, 1093}
+
+
+def test_shuffle_train_flag(kg):
+    """shuffle_train=False keeps the reference's file-order training
+    (`Static/inductive/base_model.py` never calls `shuffle_train`,
+    `load_data.py:166`): fit() must leave train_data order untouched."""
+    cfg = TrainConfig(hidden_dim=8, attn_dim=4, n_layer=2, dropout=0.0,
+                      n_batch=64, n_tbatch=64, epochs=1,
+                      shuffle_train=False)
+    kg2 = InductiveKG.load(DATA)
+    before = kg2.train_data.copy()
+    StaticTrainer(kg2, cfg).fit(eval_every=2)  # no eval: order check only
+    assert np.array_equal(kg2.train_data, before)
+
+    kg3 = InductiveKG.load(DATA)
+    before3 = kg3.train_data.copy()
+    cfg_shuf = TrainConfig(hidden_dim=8, attn_dim=4, n_layer=2,
+                           dropout=0.0, n_batch=64, n_tbatch=64, epochs=1)
+    StaticTrainer(kg3, cfg_shuf).fit(eval_every=2)
+    assert not np.array_equal(kg3.train_data, before3)
