@@ -42,6 +42,25 @@ if [ "$LEFT" -gt 600 ]; then
   bash scripts/round5_nellv4_ab.sh "$AB"
 fi
 
+# ---- 2b. xERTE sampling A/B -------------------------------------------
+# Round-5 leg B showed the post-peak divergence SURVIVES the grad clip
+# (valid fil-MRR 0.412 @ ep4 -> 0.228 @ ep6), so the next isolator from
+# VERDICT #2 is the sampling strategy: 'first' (deterministic oldest-K)
+# vs the reference-default 'weighted'.
+LEFT=$(( T - $(date +%s) ))
+if [ "$LEFT" -gt 900 ]; then
+  B=$(( LEFT > 2100 ? 2100 : LEFT ))
+  mkdir -p /tmp/r5c_xfirst_ckpt /tmp/r5c_xfirst_results
+  rm -f /tmp/r5c_xfirst_ckpt/STOP
+  note "xERTE sampling=first A/B (${B}s)"
+  bash scripts/run_resilient.sh /tmp/r5c_xfirst.log /tmp/r5c_xfirst_ckpt "$B" -- \
+    --task extrapolation --model xerte \
+    --data_path /root/reference/Temporal/extrapolation/data/ICEWS14_forecasting \
+    --results_dir /tmp/r5c_xfirst_results --sqlite /tmp/experiments.sqlite \
+    --set sampling=first
+  note "xERTE A/B done"
+fi
+
 # ---- 3. bounded ablations ---------------------------------------------
 LEFT=$(( T - $(date +%s) ))
 if [ "$LEFT" -gt 900 ]; then
