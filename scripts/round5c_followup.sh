@@ -61,6 +61,25 @@ if [ "$LEFT" -gt 900 ]; then
   note "xERTE A/B done"
 fi
 
+# test-eval the best checkpoints of both xERTE runs (leg B trained under
+# the main queue; budget timeouts kill mid-training so the test metric
+# for the BEST epoch has to come from an explicit eval pass)
+EXT=/root/reference/Temporal/extrapolation/data
+for pair in "r5b_xerte:" "r5c_xfirst:--set sampling=first"; do
+  tag=${pair%%:*}; extra=${pair#*:}
+  LEFT=$(( T - $(date +%s) ))
+  [ "$LEFT" -le 600 ] && break
+  if [ -d "/tmp/${tag}_ckpt" ]; then
+    note "eval-best $tag"
+    timeout $(( LEFT > 1500 ? 1500 : LEFT )) \
+      bash scripts/eval_best.sh extrapolation "$EXT/ICEWS14_forecasting" \
+        "/tmp/${tag}_ckpt" --model xerte \
+        --results_dir "/tmp/${tag}_results" $extra \
+        > "/tmp/${tag}_evalbest.log" 2>&1
+    note "eval-best $tag rc=$?"
+  fi
+done
+
 # ---- 3. bounded ablations ---------------------------------------------
 LEFT=$(( T - $(date +%s) ))
 if [ "$LEFT" -gt 900 ]; then
