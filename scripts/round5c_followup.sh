@@ -65,10 +65,13 @@ fi
 # the main queue; budget timeouts kill mid-training so the test metric
 # for the BEST epoch has to come from an explicit eval pass)
 EXT=/root/reference/Temporal/extrapolation/data
-for pair in "r5b_xerte:" "r5c_xfirst:--set sampling=first"; do
+for pair in "r5c_xfirst:--set sampling=first"; do
   tag=${pair%%:*}; extra=${pair#*:}
   LEFT=$(( T - $(date +%s) ))
   [ "$LEFT" -le 600 ] && break
+  # a COMPLETED run logs test-on-best itself (BEST line); eval only
+  # when the budget killed it mid-training
+  grep -q "^BEST" "/tmp/${tag}.log" 2>/dev/null && continue
   if [ -d "/tmp/${tag}_ckpt" ]; then
     note "eval-best $tag"
     timeout $(( LEFT > 1500 ? 1500 : LEFT )) \
