@@ -63,9 +63,15 @@ _STATIC_TRANS = {
     "nell": TrainConfig(lr=0.0011, decay_rate=0.9938, lamb=0.000089,
                         hidden_dim=48, attn_dim=5, n_layer=5, dropout=0.2593,
                         act="relu", n_batch=5, n_tbatch=1),
+    # dense-mode hops are OFF at YAGO scale: the batch-shared layout
+    # materializes (|E|~651k, b, d) message tensors (~2.5 GB each at
+    # b=20/d=48) — the round-5 leg's TPU-worker crashes. scan_chunk is
+    # shortened so a single dispatch stays well under the tunneled
+    # worker's ~1-minute execution kill at 123k-entity frontier sizes.
     "YAGO": TrainConfig(lr=0.0003, decay_rate=0.997, lamb=0.000111,
                         hidden_dim=48, attn_dim=5, n_layer=3, dropout=0.2131,
-                        act="relu", n_batch=3, n_tbatch=1),
+                        act="relu", n_batch=3, n_tbatch=1,
+                        dense_hops=False, scan_chunk=48),
 }
 
 # `Static/inductive/train.py:46-168`
