@@ -71,7 +71,7 @@ _STATIC_TRANS = {
     "YAGO": TrainConfig(lr=0.0003, decay_rate=0.997, lamb=0.000111,
                         hidden_dim=48, attn_dim=5, n_layer=3, dropout=0.2131,
                         act="relu", n_batch=3, n_tbatch=1,
-                        dense_hops=False, scan_chunk=48),
+                        dense_hops=False, scan_chunk=8),
 }
 
 # `Static/inductive/train.py:46-168`
