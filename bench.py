@@ -80,11 +80,20 @@ def release_chip(max_wait_s: float = 360.0) -> None:
     trainers = _live_trainers
     if not trainers():
         return
-    for d in glob.glob("/tmp/ckpt_*/"):
+    # both ckpt-dir naming conventions: round<=4 /tmp/ckpt_<tag>/ and
+    # round-5 /tmp/<tag>_ckpt/ (the latter keys the hang-watchdog match)
+    for d in glob.glob("/tmp/ckpt_*/") + glob.glob("/tmp/*_ckpt/"):
         try:
             open(os.path.join(d, "STOP"), "w").close()
         except OSError:
             pass
+    # abort flag for follow-up queue scripts so they don't launch their
+    # NEXT leg after the STOPped trainer exits (scripts/round5c_followup.sh
+    # gates every leg on this file's absence)
+    try:
+        open("/tmp/QUEUE_ABORT", "w").close()
+    except OSError:
+        pass
     print("bench: live trainer holds the chip; STOP files touched, "
           "waiting for exit", file=sys.stderr, flush=True)
     deadline = time.time() + min(max_wait_s, max(_left() - 300, 60))

@@ -18,11 +18,16 @@ set -u
 T=$1
 cd "$(dirname "$0")/.."
 note() { echo "[r5c] $(date -u +%H:%M:%S) $*"; }
+rm -f /tmp/QUEUE_ABORT
+gate() {  # gate <min_seconds_needed> — false if too late or bench wants the chip
+  [ -e /tmp/QUEUE_ABORT ] && { note "QUEUE_ABORT set; stopping"; return 1; }
+  [ $(( T - $(date +%s) )) -gt "$1" ]
+}
 EXT=/root/reference/Temporal/extrapolation/data
 
 # ---- 0. probe ----------------------------------------------------------
 LEFT=$(( T - $(date +%s) ))
-if [ "$LEFT" -gt 600 ]; then
+if gate 600; then
   note "yago probe"
   timeout 2100 python scripts/probe_yago_tpu.py > /tmp/r5c_probe.log 2>&1
   note "probe rc=$? (see /tmp/r5c_probe.log)"
@@ -31,7 +36,7 @@ fi
 # ---- 1. YAGO static retry at b=3 (only if the probe cleared it) -------
 LEFT=$(( T - $(date +%s) ))
 if grep -q "epoch-scan nb=1 b=3: ok" /tmp/r5c_probe.log 2>/dev/null \
-   && [ "$LEFT" -gt 1200 ]; then
+   && gate 1200; then
   B=$(( LEFT > 4200 ? 4200 : LEFT ))
   mkdir -p /tmp/r5c_yago_ckpt /tmp/r5c_yago_results
   rm -f /tmp/r5c_yago_ckpt/STOP
@@ -52,7 +57,7 @@ fi
 
 # ---- 2. xERTE sampling=first A/B --------------------------------------
 LEFT=$(( T - $(date +%s) ))
-if [ "$LEFT" -gt 900 ]; then
+if gate 900; then
   B=$(( LEFT > 2400 ? 2400 : LEFT ))
   mkdir -p /tmp/r5c_xfirst_ckpt /tmp/r5c_xfirst_results
   rm -f /tmp/r5c_xfirst_ckpt/STOP
@@ -67,7 +72,7 @@ fi
 
 # ---- 3. fb237_v4 to 50 epochs -----------------------------------------
 LEFT=$(( T - $(date +%s) ))
-if [ "$LEFT" -gt 900 ]; then
+if gate 900; then
   B=$(( LEFT > 3000 ? 3000 : LEFT ))
   mkdir -p /tmp/r5c_fb4_ckpt /tmp/r5c_fb4_results
   rm -f /tmp/r5c_fb4_ckpt/STOP
@@ -82,21 +87,21 @@ fi
 
 # ---- 4. nell_v4 A/B ----------------------------------------------------
 LEFT=$(( T - $(date +%s) ))
-if [ "$LEFT" -gt 600 ]; then
+if gate 600; then
   AB=$(( $(date +%s) + (LEFT > 1500 ? 1500 : LEFT) ))
   bash scripts/round5_nellv4_ab.sh "$AB"
 fi
 
 # ---- 5. bounded ablations ---------------------------------------------
 LEFT=$(( T - $(date +%s) ))
-if [ "$LEFT" -gt 900 ]; then
+if gate 900; then
   PER=$(( (LEFT - 120) / 3 ))
   OUT=/tmp/r5c_abl
   mkdir -p "$OUT"
   run_abl() {
     local tag=$1; shift
     local left=$(( T - $(date +%s) ))
-    [ "$left" -le 300 ] && { note "abl/$tag skipped"; return; }
+    { [ -e /tmp/QUEUE_ABORT ] || [ "$left" -le 300 ]; } && { note "abl/$tag skipped"; return; }
     local t=$(( PER < left ? PER : left ))
     mkdir -p "$OUT/$tag"
     note "abl/$tag start (${t}s)"
