@@ -137,6 +137,22 @@ def main():
     ok = timed("forward jit b=20", fwd_jit, 420)
     if ok:
         timed("grad jit b=20", grad_jit, 420)
+    else:
+        # bitmap-vs-sort discrimination: same forward with the sort dedup
+        import dataclasses as _dc
+
+        from redgnn_tpu.models.redgnn import RedGNN as _RedGNN
+
+        m_sort = _RedGNN(_dc.replace(trainer.model_cfg, dedup_impl="sort"))
+
+        def fwd_sort():
+            f = jax.jit(lambda p: m_sort.apply(
+                {"params": p}, kg.graph, subs, rels, qm,
+                trainer.train_caps, False)[0].sum())
+            return float(jax.device_get(f(trainer.params)))
+
+        timed("forward jit b=20 dedup=sort", fwd_sort, 420)
+    if ok:
 
         def scan1():
             rng = jax.random.PRNGKey(0)
