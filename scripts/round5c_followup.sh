@@ -92,6 +92,32 @@ if gate 600; then
   bash scripts/round5_nellv4_ab.sh "$AB"
 fi
 
+# ---- 4b. nell_v1 / fb237_v2 seed sweep (VERDICT #8: the two lagging
+# splits, -0.034/-0.028 MRR vs paper; umls showed a 0.011 seed spread on
+# this stack, so extra seeds are the cheapest first probe) --------------
+if gate 900; then
+  OUT=/tmp/r5_induct
+  run_seed() {
+    local tag=$1 ds=$2 seed=$3 t=$4
+    local left=$(( T - $(date +%s) ))
+    { [ -e /tmp/QUEUE_ABORT ] || [ "$left" -le 300 ]; } && { note "seed/$tag skipped"; return; }
+    [ "$t" -gt "$left" ] && t=$left
+    mkdir -p "$OUT/$tag"
+    note "seed/$tag start (${t}s)"
+    timeout "$t" python -m redgnn_tpu.cli.train \
+        --task inductive \
+        --data_path /root/reference/Static/inductive/data/$ds \
+        --results_dir "$OUT/$tag" --sqlite /tmp/experiments.sqlite \
+        --set seed=$seed \
+        > "$OUT/$tag.log" 2>&1
+    note "seed/$tag rc=$?"
+  }
+  run_seed nell_v1_s42   nell_v1  42 1200
+  run_seed nell_v1_s7    nell_v1   7 1200
+  run_seed fb237_v2_s42  fb237_v2 42 1200
+  run_seed fb237_v2_s7   fb237_v2  7 1200
+fi
+
 # ---- 5. bounded ablations ---------------------------------------------
 LEFT=$(( T - $(date +%s) ))
 if gate 900; then
