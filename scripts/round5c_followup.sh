@@ -44,11 +44,19 @@ if grep -q "epoch-scan nb=1 b=3: ok" /tmp/r5c_probe.log 2>/dev/null \
   nohup bash scripts/hang_watchdog.sh /tmp/r5c_yago.log 900 r5c_yago_ \
       > /tmp/r5c_yago_watchdog.log 2>&1 &
   WD=$!
+  ( while [ ! -e /tmp/r5c_yago_ckpt/BANK_DONE ]; do
+      sleep 600
+      [ -e /tmp/r5c_yago_ckpt/latest.msgpack ] && \
+        bash scripts/bank_anchor.sh r5_yago /tmp/r5c_yago_ckpt \
+          /tmp/r5c_yago_results >> /tmp/r5c_yago_bank.log 2>&1
+    done ) &
+  BK=$!
   bash scripts/run_resilient.sh /tmp/r5c_yago.log /tmp/r5c_yago_ckpt "$B" -- \
     --task transductive \
     --data_path /root/reference/Static/transductive/data/YAGO \
     --results_dir /tmp/r5c_yago_results --sqlite /tmp/experiments.sqlite
-  touch /tmp/r5c_yago.log.nowatch; kill "$WD" 2>/dev/null
+  touch /tmp/r5c_yago.log.nowatch /tmp/r5c_yago_ckpt/BANK_DONE
+  kill "$WD" "$BK" 2>/dev/null
   bash scripts/bank_anchor.sh r5_yago /tmp/r5c_yago_ckpt /tmp/r5c_yago_results || true
   note "YAGO retry done"
 else
