@@ -25,6 +25,26 @@ gate() {  # gate <min_seconds_needed> — false if too late or bench wants the c
 }
 EXT=/root/reference/Temporal/extrapolation/data
 
+# ---- -1. wait for the tunneled worker to heal (leg E ended in a
+# crash-loop; post-recycle cold start can be ~7-20 min) ------------------
+if gate 600; then
+  note "waiting for device"
+  timeout 2400 python - <<'PY'
+import time, jax, jax.numpy as jnp
+deadline = time.time() + 2300
+while True:
+    try:
+        jnp.ones(2).sum().block_until_ready()
+        print("device up", flush=True)
+        break
+    except Exception as e:
+        if time.time() > deadline:
+            raise
+        time.sleep(20)
+PY
+  note "device wait rc=$?"
+fi
+
 # ---- 0. probe ----------------------------------------------------------
 LEFT=$(( T - $(date +%s) ))
 if gate 600; then
