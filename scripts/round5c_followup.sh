@@ -98,6 +98,30 @@ if gate 900; then
   note "xERTE A/B done"
 fi
 
+# ---- 2c. WN18RR completion (ep37 -> 50; ep36 already beats paper on all
+# three metrics, this closes the 50-epoch protocol) ----------------------
+LEFT=$(( T - $(date +%s) ))
+if gate 900; then
+  B=$(( LEFT > 2700 ? 2700 : LEFT ))
+  mkdir -p /tmp/r5c_wn_ckpt /tmp/r5c_wn_results
+  rm -f /tmp/r5c_wn_ckpt/STOP
+  for f in latest.msgpack latest.msgpack.host.json; do
+    [ -e "/tmp/r5c_wn_ckpt/$f" ] || cp "/tmp/r5b_wn18rr_ckpt/$f" /tmp/r5c_wn_ckpt/
+  done
+  cp /tmp/r5b_wn18rr_ckpt/caps_*.json /tmp/r5c_wn_ckpt/ 2>/dev/null
+  note "WN18RR completion (${B}s)"
+  nohup bash scripts/hang_watchdog.sh /tmp/r5c_wn.log 600 r5c_wn_ \
+      > /tmp/r5c_wn_watchdog.log 2>&1 &
+  WD2=$!
+  bash scripts/run_resilient.sh /tmp/r5c_wn.log /tmp/r5c_wn_ckpt "$B" -- \
+    --task transductive \
+    --data_path /root/reference/Static/transductive/data/WN18RR \
+    --results_dir /tmp/r5c_wn_results --sqlite /tmp/experiments.sqlite
+  touch /tmp/r5c_wn.log.nowatch; kill "$WD2" 2>/dev/null
+  bash scripts/bank_anchor.sh r5_wn18rr_final /tmp/r5c_wn_ckpt /tmp/r5c_wn_results || true
+  note "WN18RR completion done"
+fi
+
 # ---- 3. fb237_v4 to 50 epochs -----------------------------------------
 LEFT=$(( T - $(date +%s) ))
 if gate 900; then
