@@ -65,9 +65,23 @@ def _live_trainers() -> list:
 
     out = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True,
                          text=True).stdout
-    return [ln for ln in out.splitlines()
-            if "redgnn_tpu.cli.train" in ln and "grep" not in ln
-            and "--platform cpu" not in ln]  # CPU runs don't hold the chip
+    trainers = []
+    for ln in out.splitlines():
+        cols = ln.split(None, 1)
+        if len(cols) < 2:
+            continue
+        args = cols[1]
+        # only ACTUAL trainer processes: argv starts with (timeout N)
+        # python -m redgnn_tpu.cli.train. A shell wrapper whose -c string
+        # merely CONTAINS the trainer command (backgrounded launches)
+        # must not count — it made release_chip wait 6 min for nothing.
+        if args.startswith("timeout "):
+            args = args.split(None, 2)[2] if len(args.split(None, 2)) > 2 else ""
+        if not args.startswith("python"):
+            continue
+        if "redgnn_tpu.cli.train" in args and "--platform cpu" not in args:
+            trainers.append(ln)
+    return trainers
 
 
 def release_chip(max_wait_s: float = 360.0) -> None:
