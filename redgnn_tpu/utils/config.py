@@ -63,15 +63,21 @@ _STATIC_TRANS = {
     "nell": TrainConfig(lr=0.0011, decay_rate=0.9938, lamb=0.000089,
                         hidden_dim=48, attn_dim=5, n_layer=5, dropout=0.2593,
                         act="relu", n_batch=5, n_tbatch=1),
-    # dense-mode hops are OFF at YAGO scale: the batch-shared layout
-    # materializes (|E|~651k, b, d) message tensors (~2.5 GB each at
-    # b=20/d=48) — the round-5 leg's TPU-worker crashes. scan_chunk is
-    # shortened so a single dispatch stays well under the tunneled
-    # worker's ~1-minute execution kill at 123k-entity frontier sizes.
+    # YAGO needs three TPU-specific deviations (round-5 forensics):
+    # dense-mode hops OFF (the batch-shared layout materializes
+    # (|E|~651k, b, d) message tensors, ~2.5 GB each — worker crashes,
+    # rc=1), scan_chunk=1 (multi-step scan dispatches of this program
+    # hang the tunneled worker even though the identical single-step
+    # dispatch runs fine — scripts/probe_yago_tpu.py + the r5c leg logs
+    # are the evidence), and n_batch 3->20 / n_tbatch 1->25 (the
+    # reference's b=3 was a GPU-memory constraint; at 25 ms RPC per
+    # dispatch the 44,960-step b=3 epoch would be ~19 min of pure
+    # overhead — b=20 cuts it 6.7x; lr kept at the reference 3e-4,
+    # noted in RESULTS).
     "YAGO": TrainConfig(lr=0.0003, decay_rate=0.997, lamb=0.000111,
                         hidden_dim=48, attn_dim=5, n_layer=3, dropout=0.2131,
-                        act="relu", n_batch=3, n_tbatch=1,
-                        dense_hops=False, scan_chunk=8),
+                        act="relu", n_batch=20, n_tbatch=25,
+                        dense_hops=False, scan_chunk=1),
 }
 
 # `Static/inductive/train.py:46-168`
